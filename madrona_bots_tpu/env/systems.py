@@ -1,0 +1,462 @@
+"""The per-step simulation systems, vectorized over [num_worlds, max_agents].
+
+Each function here is one "taskgraph node" of the reference Step graph
+(/root/reference/src/sim/sim.cpp:1061-1181), re-expressed as pure array ops:
+
+    reference node                      here
+    ------------------------------      ---------------------------
+    resetChunkInfoSystem (390-417)      (implicit: tallies recomputed)
+    addFoodSystem        (307-387)      food_spawn
+    actionSystem         (419-502)      action_system
+    healthSync           (505-581)      health_sync (damage/eat/breed/death/birth)
+    updateSurroundingObservation        surrounding_observation
+    speciesTrackerUpdate+InfoSync       species_info (counts/rewards/respawn)
+    sort + recycle (1129-1132)          (gone: fixed slots, claim_slots allocator)
+    updateSensorOutputIdx (736-789)     prev-sensor shift (in env.step)
+    rewardSystem         (840-983)      reward_system
+    bridgeSyncSystem     (985-999)      (gone: shapes are static)
+
+CUDA atomics become deterministic reductions (segment sums / scatter-min with
+"lowest slot wins" — SPEC.md §3-4); dynamic entity rows become a free-slot
+allocator over the padded capacity (SPEC.md deviation D2).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from madrona_bots_tpu.config import (
+    ACTION_BACKWARD,
+    ACTION_BREED,
+    ACTION_FORWARD,
+    ACTION_ROTATE_LEFT,
+    ACTION_ROTATE_RIGHT,
+    ACTION_SHOOT,
+    EnvConfig,
+    SALT_FOOD,
+    SALT_RESPAWN,
+)
+
+i32 = jnp.int32
+f32 = jnp.float32
+
+
+# ---------------------------------------------------------------------------
+# Slot allocator (replaces makeEntity/RecycleEntitiesNode, sim.cpp:1132)
+# ---------------------------------------------------------------------------
+
+def claim_slots(free_mask: jax.Array, active: jax.Array):
+    """Deterministically assign free slots to claimants.
+
+    free_mask: [W, A] bool — slots available for allocation.
+    active:    [W, V] bool — claimants in priority order (ascending v).
+
+    Returns (slot_for_v [W, V] i32 with -1 where no slot granted,
+             new_free_mask [W, A]).
+    The r-th active claimant receives the r-th free slot (both ascending) —
+    the deterministic replacement for Madrona's entity-row allocation order.
+    """
+    W, A = free_mask.shape
+    V = active.shape[1]
+    w_ix = jnp.arange(W)[:, None]
+
+    free_rank = jnp.cumsum(free_mask.astype(i32), axis=1) - 1        # [W, A]
+    num_free = jnp.sum(free_mask.astype(i32), axis=1)                # [W]
+    slot_ids = jnp.broadcast_to(jnp.arange(A, dtype=i32), (W, A))
+
+    # slot_of_rank[w, r] = index of the r-th free slot in world w.
+    rank_idx = jnp.where(free_mask, free_rank, A)                    # A -> dropped
+    slot_of_rank = jnp.full((W, A), -1, i32).at[w_ix, rank_idx].set(
+        slot_ids, mode="drop")
+
+    want_rank = jnp.cumsum(active.astype(i32), axis=1) - 1           # [W, V]
+    granted = active & (want_rank < num_free[:, None])
+    safe_rank = jnp.clip(want_rank, 0, A - 1)
+    slot_for_v = jnp.where(
+        granted,
+        jnp.take_along_axis(slot_of_rank, safe_rank, axis=1),
+        -1,
+    ).astype(i32)
+
+    claimed = jnp.zeros((W, A), bool).at[w_ix, jnp.where(granted, slot_for_v, A)].set(
+        True, mode="drop")
+    return slot_for_v, free_mask & ~claimed
+
+
+def scatter_from_claims(dst: jax.Array, slot_for_v: jax.Array, values: jax.Array):
+    """dst[w, slot_for_v[w, v]] = values[w, v] for granted claims (slot >= 0)."""
+    W = dst.shape[0]
+    A = dst.shape[1]
+    w_ix = jnp.arange(W)[:, None]
+    idx = jnp.where(slot_for_v >= 0, slot_for_v, A)
+    return dst.at[w_ix, idx].set(values, mode="drop")
+
+
+# ---------------------------------------------------------------------------
+# Geometry helpers (sim.inl:39-63)
+# ---------------------------------------------------------------------------
+
+def chunk_index(pos: jax.Array, cfg: EnvConfig) -> jax.Array:
+    """Linear chunk index of a world position (always valid post-clamp)."""
+    cell = pos / jnp.float32(cfg.cell_dim)
+    ch = jnp.floor(cell / jnp.float32(cfg.chunk_width)).astype(i32)
+    cx = jnp.clip(ch[..., 0], 0, cfg.num_chunks_x - 1)
+    cy = jnp.clip(ch[..., 1], 0, cfg.num_chunks_y - 1)
+    return cx + cy * cfg.num_chunks_x
+
+
+def cell_in_chunk(pos: jax.Array, cfg: EnvConfig) -> jax.Array:
+    """Cell (x, y) within the chunk, uint8 semantics of healthSync
+    (sim.cpp:518-523): 16 * frac(pos / cell_dim / 16), truncated."""
+    chcoord = pos / jnp.float32(cfg.cell_dim) / jnp.float32(cfg.chunk_width)
+    frac = chcoord - jnp.floor(chcoord)
+    return (jnp.float32(cfg.chunk_width) * frac).astype(i32)
+
+
+# ---------------------------------------------------------------------------
+# Food spawn (addFoodSystem, sim.cpp:307-387)
+# ---------------------------------------------------------------------------
+
+def food_spawn(food_count, food_cell, num_food, world_keys, t, cfg: EnvConfig):
+    """Per world: 10% gate, 1-2 spawn attempts into first-empty package slots.
+
+    Sequential attempt semantics (attempt 1 sees attempt 0's placement);
+    RNG per SPEC.md "RNG discipline".
+    """
+    W = food_count.shape[0]
+    P = cfg.max_food_packages
+    w_ix = jnp.arange(W)
+
+    def draws(wkey):
+        k = jax.random.fold_in(jax.random.fold_in(wkey, t), SALT_FOOD)
+        gate = jax.random.randint(jax.random.fold_in(k, 0), (), 0, 10)
+        n = jax.random.randint(jax.random.fold_in(k, 1), (), 1, 3)
+        hi = jnp.array([cfg.num_chunks_x, cfg.num_chunks_y,
+                        cfg.chunk_width, cfg.chunk_width])
+        per = jnp.stack([
+            jax.random.randint(jax.random.fold_in(k, 2 + j), (4,), 0, hi)
+            for j in range(2)
+        ])  # [2, 4]: chunk_x, chunk_y, cell_x, cell_y
+        return gate, n, per
+
+    gate, n, per = jax.vmap(draws)(world_keys)
+    n_eff = jnp.minimum(n, jnp.maximum(cfg.total_allowed_food - num_food, 0))
+    gate_ok = gate == 0
+
+    for j in range(2):
+        active = gate_ok & (j < n_eff)
+        c = per[:, j, 0] + per[:, j, 1] * cfg.num_chunks_x          # [W]
+        cell = per[:, j, 2:4].astype(i32)                            # [W, 2]
+        slots = food_count[w_ix, c, :]                               # [W, P]
+        empty = slots == 0
+        has_empty = jnp.any(empty, axis=1)
+        first_empty = jnp.argmax(empty, axis=1)
+        place = active & has_empty
+        pidx = jnp.where(place, first_empty, P)                      # P -> dropped
+        food_count = food_count.at[w_ix, c, pidx].set(1, mode="drop")
+        food_cell = food_cell.at[w_ix, c, pidx].set(cell, mode="drop")
+        num_food = num_food + place.astype(i32)
+
+    return food_count, food_cell, num_food
+
+
+# ---------------------------------------------------------------------------
+# Action system (sim.cpp:419-502)
+# ---------------------------------------------------------------------------
+
+class ActionOut(NamedTuple):
+    pos: jax.Array            # [W, A, 2] new positions
+    heading: jax.Array        # [W, A]
+    damage: jax.Array         # [W, A] i32 incoming damage this step
+    hit_friendly: jax.Array   # [W, A] bool (shooter stat)
+    hit_enemy: jax.Array      # [W, A] bool
+    chunk_agents: jax.Array   # [W, C] i32 tally
+    chunk_speed: jax.Array    # [W, C] i32 tally
+
+
+def action_system(pos, heading, alive, species, action, finder, cfg: EnvConfig) -> ActionOut:
+    W, A = alive.shape
+    w_ix = jnp.arange(W)[:, None]
+    act = action > 0
+
+    # --- shoot: damage via previous frame's crosshair (sim.cpp:434-454) ---
+    safe_t = jnp.clip(finder, 0, A - 1)
+    target_alive = jnp.take_along_axis(alive, safe_t, axis=1)
+    target_species = jnp.take_along_axis(species, safe_t, axis=1)
+    valid_shot = act[..., ACTION_SHOOT] & alive & (finder >= 0) & target_alive
+    tgt_idx = jnp.where(valid_shot, finder, A)
+    damage = jnp.zeros((W, A), i32).at[w_ix, tgt_idx].add(
+        jnp.where(valid_shot, cfg.shoot_damage, 0), mode="drop")
+    same = target_species == species
+    hit_friendly = valid_shot & same
+    hit_enemy = valid_shot & ~same
+
+    # --- rotate (if/elif, sim.cpp:456-462) ---
+    rl = act[..., ACTION_ROTATE_LEFT]
+    rr = act[..., ACTION_ROTATE_RIGHT] & ~rl
+    delta = jnp.float32(cfg.rotation_delta)
+    new_heading = jnp.where(alive, heading + jnp.where(rl, delta, 0.0)
+                            - jnp.where(rr, delta, 0.0), heading)
+
+    # --- move (if/elif) + clamp (sim.cpp:464-486) ---
+    fwd = act[..., ACTION_FORWARD]
+    bwd = act[..., ACTION_BACKWARD] & ~fwd
+    mv = jnp.where(fwd, cfg.move_speed, 0.0) - jnp.where(bwd, cfg.move_speed, 0.0)
+    direction = jnp.stack([jnp.cos(new_heading), jnp.sin(new_heading)], axis=-1)
+    new_pos = pos + direction * (mv * alive)[..., None]
+    lim = jnp.array([cfg.world_lim_x - 1.0, cfg.world_lim_y - 1.0], f32)
+    new_pos = jnp.clip(new_pos, 0.0, lim)
+    new_pos = jnp.where(alive[..., None], new_pos, pos)
+
+    # --- chunk tallies at NEW positions (sim.cpp:488-502), integer sums ---
+    d = new_pos - pos
+    delta_len = jnp.sqrt(jnp.sum(d * d, axis=-1))
+    speed_q = (delta_len * 2.0).astype(i32)  # uint32 truncation in the reference
+    cidx = chunk_index(new_pos, cfg)
+    cidx = jnp.where(alive, cidx, cfg.num_chunks)  # dead -> dropped
+    chunk_agents = jnp.zeros((W, cfg.num_chunks), i32).at[w_ix, cidx].add(
+        alive.astype(i32), mode="drop")
+    chunk_speed = jnp.zeros((W, cfg.num_chunks), i32).at[w_ix, cidx].add(
+        jnp.where(alive, speed_q, 0), mode="drop")
+
+    return ActionOut(new_pos, new_heading, damage, hit_friendly, hit_enemy,
+                     chunk_agents, chunk_speed)
+
+
+# ---------------------------------------------------------------------------
+# Health sync: damage, eat, breed, death, birth (sim.cpp:505-581)
+# ---------------------------------------------------------------------------
+
+class HealthOut(NamedTuple):
+    health: jax.Array        # [W, A] i32
+    alive: jax.Array         # [W, A] post-death, post-birth
+    born: jax.Array          # [W, A] bool — slots that hold a newborn
+    ate_food: jax.Array      # [W, A] bool
+    reproduced: jax.Array    # [W, A] bool
+    food_count: jax.Array
+    num_food: jax.Array
+    pos: jax.Array           # with newborn positions
+    heading: jax.Array
+    species: jax.Array
+
+
+def health_sync(pos, heading, alive, species, health, action, finder, damage,
+                food_count, food_cell, num_food, cfg: EnvConfig) -> HealthOut:
+    W, A = alive.shape
+    w_ix = jnp.arange(W)[:, None]
+    act = action > 0
+
+    health = jnp.where(alive, health - damage, health)
+
+    # --- eat: package slots processed in order, lowest agent slot wins each
+    # (deterministic replacement for the CAS race, sim.inl:76-99) ---
+    cidx = chunk_index(pos, cfg)
+    cell = cell_in_chunk(pos, cfg)                                   # [W, A, 2]
+    eaten = jnp.zeros((W, A), bool)
+    slot_ids = jnp.broadcast_to(jnp.arange(A, dtype=i32), (W, A))
+    BIG = i32(A)
+    for p in range(cfg.max_food_packages):
+        pkg_cell = food_cell[w_ix, cidx, p]                          # [W, A, 2]
+        pkg_has = food_count[w_ix, cidx, p] > 0                      # [W, A]
+        contend = (alive & pkg_has & ~eaten
+                   & jnp.all(cell == pkg_cell, axis=-1))
+        key = jnp.where(contend, slot_ids, BIG)
+        winner_per_chunk = jnp.full((W, cfg.num_chunks + 1), BIG, i32).at[
+            w_ix, jnp.where(contend, cidx, cfg.num_chunks)].min(key, mode="drop")
+        is_winner = contend & (slot_ids == winner_per_chunk[w_ix, cidx])
+        eaten = eaten | is_winner
+        health = health + jnp.where(is_winner, cfg.eat_health, 0)
+        consumed_chunk = winner_per_chunk[:, : cfg.num_chunks] < BIG  # [W, C]
+        food_count = jnp.where(
+            consumed_chunk[..., None]
+            & (jnp.arange(cfg.max_food_packages) == p),
+            0, food_count)
+        num_food = num_food - jnp.sum(consumed_chunk, axis=1)
+
+    # --- breed (sim.cpp:547-569): post-damage, post-eat health; crosshair
+    # target must be alive (at step start) and same species ---
+    safe_t = jnp.clip(finder, 0, A - 1)
+    target_alive = jnp.take_along_axis(alive, safe_t, axis=1)
+    target_species = jnp.take_along_axis(species, safe_t, axis=1)
+    breeder = (act[..., ACTION_BREED] & alive & (health > cfg.breed_min_health)
+               & (finder >= 0) & target_alive & (target_species == species))
+    health = health - jnp.where(breeder, cfg.breed_cost, 0)
+
+    # --- death (sim.cpp:574-578) ---
+    died = alive & (health <= 0)
+    alive_after_death = alive & ~died
+
+    # --- births claim slots free at step start (recycle runs later in the
+    # reference graph, so this step's deaths are not reusable — SPEC §4.6) ---
+    free0 = ~alive
+    child_slot, _ = claim_slots(free0, breeder)
+    born = jnp.zeros((W, A), bool).at[w_ix, jnp.where(child_slot >= 0, child_slot, A)].set(
+        True, mode="drop")
+
+    pos = scatter_from_claims(pos, child_slot, pos)          # child at parent pos
+    species = scatter_from_claims(species, child_slot, species)
+    heading = scatter_from_claims(heading, child_slot,
+                                  jnp.zeros((W, A), f32))
+    health = scatter_from_claims(health, child_slot,
+                                 jnp.full((W, A), cfg.child_health, i32))
+    # The reference sets reproduced=1 whenever the breed branch fires
+    # (allocation never fails there); under capacity pressure we still report
+    # reproduced for the stat/bonus even if the birth was dropped.
+    reproduced = breeder
+
+    alive_new = alive_after_death | born
+    return HealthOut(health, alive_new, born, eaten, breeder,
+                     food_count, num_food, pos, heading, species)
+
+
+# ---------------------------------------------------------------------------
+# Surrounding observation (sim.cpp:583-654)
+# ---------------------------------------------------------------------------
+
+def surrounding_observation(pos, alive, chunk_agents, chunk_speed, cfg: EnvConfig):
+    """Bilinear interpolation of chunk tallies at the agent position."""
+    cw = jnp.float32(cfg.chunk_width)
+    cell = pos / jnp.float32(cfg.cell_dim) - cw * 0.5
+    ch = cell / cw                                                  # [W, A, 2]
+    ch0 = jnp.floor(ch)
+    xi = ch[..., 0] - ch0[..., 0]
+    yi = ch[..., 1] - ch0[..., 1]
+
+    def tally_at(cxf, cyf):
+        cx = cxf.astype(i32)
+        cy = cyf.astype(i32)
+        ok = (cx >= 0) & (cy >= 0) & (cx < cfg.num_chunks_x) & (cy < cfg.num_chunks_y)
+        lin = jnp.where(ok, cx + cy * cfg.num_chunks_x, 0)
+        na = jnp.take_along_axis(chunk_agents, lin, axis=1)
+        ts = jnp.take_along_axis(chunk_speed, lin, axis=1)
+        return (jnp.where(ok, na, 0).astype(f32), jnp.where(ok, ts, 0).astype(f32))
+
+    fx, fy = ch0[..., 0], ch0[..., 1]
+    cx_, cy_ = jnp.ceil(ch[..., 0]), jnp.ceil(ch[..., 1])
+    na00, ts00 = tally_at(fx, fy)
+    na10, ts10 = tally_at(cx_, fy)
+    na01, ts01 = tally_at(fx, cy_)
+    na11, ts11 = tally_at(cx_, cy_)
+
+    na_x0 = xi * na10 + (1.0 - xi) * na00
+    na_x1 = xi * na11 + (1.0 - xi) * na01
+    ts_x0 = xi * ts10 + (1.0 - xi) * ts00
+    ts_x1 = xi * ts11 + (1.0 - xi) * ts01
+    presence = yi * na_x1 + (1.0 - yi) * na_x0
+    movement = yi * ts_x1 + (1.0 - yi) * ts_x0
+
+    out = jnp.stack([presence, movement], axis=-1)
+    return jnp.where(alive[..., None], out, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Species info: counts, rewards, respawn (sim.cpp:719-838)
+# ---------------------------------------------------------------------------
+
+class SpeciesOut(NamedTuple):
+    counts: jax.Array          # [W, NS] pre-respawn (exported SpeciesCount)
+    rewards: jax.Array         # [W, NS]
+    alive: jax.Array           # [W, A] post-respawn
+    respawned: jax.Array       # [W, A] bool
+    pos: jax.Array
+    heading: jax.Array
+    species: jax.Array
+    health: jax.Array
+
+
+def species_info(pos, heading, alive, species, health, born_free_mask,
+                 world_keys, t, cfg: EnvConfig) -> SpeciesOut:
+    W, A = alive.shape
+    NS = cfg.num_species
+    floor_n = cfg.respawn_floor
+
+    sp1 = species - 1  # 0-based; dead slots masked below
+    onehot = (sp1[..., None] == jnp.arange(NS)) & alive[..., None]   # [W, A, NS]
+    counts = jnp.sum(onehot, axis=1).astype(i32)
+    total_health = jnp.sum(jnp.where(onehot, health[..., None], 0), axis=1).astype(i32)
+
+    avg_health = jnp.where(counts > 0, total_health.astype(f32) / counts.astype(f32), 0.0)
+    rewards = (counts.astype(f32) / jnp.float32(cfg.init_agents)
+               + avg_health / 100.0 - 2.0)
+
+    # Respawn (sim.cpp:825-836): top species s up to floor_n agents.
+    needed = jnp.where(counts < floor_n, floor_n - counts, 0)        # [W, NS]
+    V = NS * floor_n
+    v_species = jnp.arange(V, dtype=i32) // floor_n                  # ascending species
+    v_rank = jnp.arange(V, dtype=i32) % floor_n
+    active_v = v_rank[None, :] < needed[:, v_species]                # [W, V]
+
+    def draw(wkey):
+        base = jax.random.fold_in(jax.random.fold_in(wkey, t), SALT_RESPAWN)
+        lims = jnp.array([cfg.world_lim_x, cfg.world_lim_y], f32)
+        return jnp.stack([
+            jax.random.uniform(jax.random.fold_in(base, s), (floor_n, 2), f32) * lims
+            for s in range(NS)
+        ])  # [NS, floor_n, 2]
+
+    draws = jax.vmap(draw)(world_keys)                               # [W, NS, fl, 2]
+    pos_v = draws[:, v_species, v_rank]                              # [W, V, 2]
+
+    slot_for_v, _ = claim_slots(born_free_mask, active_v)
+    w_ix = jnp.arange(W)[:, None]
+    idx = jnp.where(slot_for_v >= 0, slot_for_v, A)
+    respawned = jnp.zeros((W, A), bool).at[w_ix, idx].set(True, mode="drop")
+    pos = pos.at[w_ix, idx].set(pos_v, mode="drop")
+    heading = heading.at[w_ix, idx].set(0.0, mode="drop")
+    species = species.at[w_ix, idx].set(
+        jnp.broadcast_to(v_species + 1, (W, V)), mode="drop")
+    health = health.at[w_ix, idx].set(cfg.init_health, mode="drop")
+
+    return SpeciesOut(counts, rewards, alive | respawned, respawned,
+                      pos, heading, species, health)
+
+
+# ---------------------------------------------------------------------------
+# Reward (sim.cpp:840-983) — all 8 settings, default SETTING_8
+# ---------------------------------------------------------------------------
+
+def reward_system(species, health, alive, species_rewards, stats, pos,
+                  cfg: EnvConfig):
+    """Per-agent reward. Uses rewards[species-1] (deviation D3 — the reference
+    OOB-indexes rewards[species], sim.cpp:943). `stats` are THIS step's event
+    flags (the reference clears AgentStats right after reading them,
+    sim.cpp:979-982, so they are per-step flags). Returns reward [W, A] f32."""
+    W, A = alive.shape
+    setting = int(cfg.reward_setting)
+    sp0 = jnp.clip(species - 1, 0, cfg.num_species - 1)
+    base = jnp.take_along_axis(species_rewards, sp0, axis=1)
+    pop_health = base + health.astype(f32) / 100.0 - 0.5
+
+    hit_friendly = stats[..., 0] > 0
+    hit_enemy = stats[..., 1] > 0
+    ate = stats[..., 2] > 0
+    repro = stats[..., 3] > 0
+
+    if setting in (2,):
+        r = pop_health
+        lim_x, lim_y, pr = cfg.world_lim_x, cfg.world_lim_y, 4.0
+        at_edge = ((pos[..., 0] < pr) | (pos[..., 1] < pr)
+                   | (pos[..., 0] > lim_x - pr) | (pos[..., 1] > lim_y - pr))
+        r = r - jnp.where(at_edge, 1.0, 0.0)
+        r = r + jnp.where(repro, 10.0, 0.0) - jnp.where(hit_friendly, 5.0, 0.0)
+        r = r + jnp.where(hit_enemy, 15.0, 0.0) + jnp.where(ate, 7.0, 0.0)
+    elif setting == 3:
+        r = (jnp.where(repro, 10.0, 0.0) + jnp.where(hit_enemy, 15.0, 0.0)
+             + jnp.where(ate, 7.0, 0.0))
+    elif setting == 4:
+        r = (jnp.where(repro, 10.0, 0.0) + jnp.where(hit_enemy, 15.0, 0.0)
+             - jnp.where(hit_friendly, 5.0, 0.0) + jnp.where(ate, 7.0, 0.0))
+    elif setting == 5:
+        r = pop_health
+    elif setting == 6:
+        r = pop_health + jnp.where(ate, 10.0, 0.0)
+    elif setting == 7:
+        r = pop_health + jnp.where(ate, 10.0, 0.0) + jnp.where(repro, 10.0, 0.0)
+    else:  # SETTING_8 — the active one (sim.cpp:942-957)
+        r = (pop_health + jnp.where(ate, 10.0, 0.0) + jnp.where(repro, 10.0, 0.0)
+             + jnp.where(hit_enemy, 15.0, 0.0))
+
+    return jnp.where(alive, r, 0.0)

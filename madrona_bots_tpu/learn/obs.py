@@ -1,0 +1,53 @@
+"""Observation construction on padded [W, A] layout.
+
+The reference flattens to a species-major [total_agents, 69] table via a
+global sort + cumsum slicing (util.py:14-29, training_loop.py:43-45). The
+TPU-native path skips the sort entirely: all four species train on the same
+padded [W*A, 69] batch with per-species masks — shapes stay static under jit
+and shard cleanly over the worlds axis.
+
+69-dim layout (util.py:23-28): [depth(32), health(1), pos(2), semantic(32),
+surrounding(2)].
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from madrona_bots_tpu.config import EnvConfig
+from madrona_bots_tpu.env.state import WorldState
+
+f32 = jnp.float32
+
+
+def construct_obs(state: WorldState, cfg: EnvConfig, prev: bool = False,
+                  quirk_compat: bool = False) -> jnp.ndarray:
+    """[W, A, obs_dim] f32. With quirk_compat=True the depth block carries the
+    semantic bytes, reproducing the reference's depth-export bug (Q1,
+    sim.cpp:98-104)."""
+    if prev:
+        depth = state.prev_sensor_depth
+        semantic = state.prev_sensor_semantic
+        health = state.prev_health
+        pos = state.prev_pos
+        surrounding = state.prev_surrounding
+    else:
+        depth = state.sensor_depth
+        semantic = state.sensor_semantic
+        health = state.health
+        pos = state.pos
+        surrounding = state.surrounding
+    if quirk_compat:
+        depth = semantic.astype(jnp.uint8)
+    return jnp.concatenate([
+        depth.astype(f32),
+        health[..., None].astype(f32),
+        pos.astype(f32),
+        semantic.astype(f32),
+        surrounding.astype(f32),
+    ], axis=-1)
+
+
+def species_mask(state: WorldState, species_id: int) -> jnp.ndarray:
+    """[W, A] f32 mask: alive and of the given 1-based species."""
+    return (state.alive & (state.species == species_id)).astype(f32)

@@ -1,0 +1,97 @@
+"""Structural invariants of the environment over long random rollouts."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from madrona_bots_tpu import EnvConfig, init_state, step
+from madrona_bots_tpu.env.env import set_actions, shift_observations
+from madrona_bots_tpu.env.systems import claim_slots
+
+
+def random_actions(rng, W, A):
+    acts = np.zeros((W, A, 6), np.int32)
+    a = rng.integers(0, 6, (W, A))
+    acts[np.arange(W)[:, None], np.arange(A)[None, :], a] = 1
+    return acts
+
+
+def test_invariants_over_rollout():
+    cfg = EnvConfig(num_worlds=4, init_agents=32, max_agents=64)
+    s = init_state(jax.random.key(2), cfg)
+    rng = np.random.default_rng(2)
+    for t in range(50):
+        s = step(set_actions(s, jnp.array(random_actions(rng, 4, 64))), cfg)
+        alive = np.asarray(s.alive)
+        health = np.asarray(s.health)
+        species = np.asarray(s.species)
+        pos = np.asarray(s.pos)
+        food = np.asarray(s.food_count)
+        nf = np.asarray(s.num_food)
+
+        # Alive agents have positive health and valid species; dead are zeroed.
+        assert (health[alive] > 0).all()
+        assert np.isin(species[alive], np.arange(1, 5)).all()
+        assert (health[~alive] == 0).all()
+        assert (species[~alive] == 0).all()
+        # Positions clamped to the arena.
+        assert (pos[alive][:, 0] >= 0).all() and (pos[alive][:, 0] <= cfg.world_lim_x - 1).all()
+        assert (pos[alive][:, 1] >= 0).all() and (pos[alive][:, 1] <= cfg.world_lim_y - 1).all()
+        # Food bookkeeping: package counts in {0,1}; num_food == sum; cap respected.
+        assert np.isin(food, [0, 1]).all()
+        np.testing.assert_array_equal(nf, food.sum(axis=(1, 2)))
+        assert (nf <= cfg.total_allowed_food).all()
+        # Respawn floor: post-respawn population per species >= min(floor, ...)
+        counts_now = np.stack([(species == k + 1)[..., :].sum(-1) for k in range(4)], -1)
+        assert (counts_now >= cfg.respawn_floor).all() or t == 0
+
+
+def test_respawn_floor_after_extinction():
+    """Kill everything via massive friendly fire and check species recover."""
+    cfg = EnvConfig(num_worlds=1, init_agents=32, max_agents=64)
+    s = init_state(jax.random.key(0), cfg)
+    # Force everyone to shoot whoever is in the crosshair for many steps.
+    acts = np.zeros((1, 64, 6), np.int32)
+    acts[:, :, 4] = 1  # shoot
+    for _ in range(30):
+        s = step(set_actions(s, jnp.array(acts)), cfg)
+    counts = np.asarray(s.species_counts)[0]
+    alive_per_species = np.array([
+        int((np.asarray(s.species)[0][np.asarray(s.alive)[0]] == k + 1).sum())
+        for k in range(4)])
+    assert (alive_per_species >= cfg.respawn_floor).all()
+    assert counts.sum() > 0
+
+
+def test_claim_slots_basic():
+    free = jnp.array([[True, False, True, True], [False, False, False, True]])
+    active = jnp.array([[True, True, True, False], [True, True, False, False]])
+    slots, new_free = claim_slots(free, active)
+    np.testing.assert_array_equal(np.asarray(slots), [[0, 2, 3, -1], [3, -1, -1, -1]])
+    np.testing.assert_array_equal(np.asarray(new_free),
+                                  [[False] * 4, [False] * 4])
+
+
+def test_shift_observations():
+    cfg = EnvConfig(num_worlds=2, init_agents=16, max_agents=32)
+    s = init_state(jax.random.key(4), cfg)
+    rng = np.random.default_rng(4)
+    s = step(set_actions(s, jnp.array(random_actions(rng, 2, 32))), cfg)
+    s2 = shift_observations(s, cfg)
+    np.testing.assert_array_equal(np.asarray(s2.prev_health), np.asarray(s2.health))
+    np.testing.assert_array_equal(np.asarray(s2.prev_species), np.asarray(s2.species))
+    np.testing.assert_allclose(np.asarray(s2.prev_pos), np.asarray(s2.pos))
+    np.testing.assert_array_equal(np.asarray(s2.prev_stats), np.asarray(s2.stats))
+
+
+def test_breeding_creates_children():
+    """Two same-species agents facing each other with breed flag reproduce."""
+    cfg = EnvConfig(num_worlds=1, init_agents=32, max_agents=64)
+    s = init_state(jax.random.key(0), cfg)
+    acts = np.zeros((1, 64, 6), np.int32)
+    acts[:, :, 5] = 1  # breed
+    pop0 = int(np.asarray(s.alive).sum())
+    for _ in range(20):
+        s = step(set_actions(s, jnp.array(acts)), cfg)
+    # With everyone trying to breed, population should not shrink and usually grows.
+    assert int(np.asarray(s.alive).sum()) >= pop0

@@ -1,0 +1,94 @@
+"""Fixed-seed parity: the vectorized jitted env vs the loop-based oracle.
+
+The oracle (madrona_bots_tpu/oracle/oracle.py) is the executable SPEC; the
+reference repo has no tests (SURVEY.md §4) so this is the trajectory anchor
+demanded by BASELINE.md config[0]. Integer/discrete state must match exactly;
+float32 state to tight tolerance (XLA fusion may differ ulps from the scalar
+path).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from madrona_bots_tpu import EnvConfig, init_state, step
+from madrona_bots_tpu.env.env import set_actions
+from madrona_bots_tpu.oracle.oracle import Oracle
+
+INT_FIELDS = ["alive", "species", "health", "stats", "food_count", "food_cell",
+              "species_counts", "finder", "sensor_depth", "sensor_semantic",
+              "prev_sensor_depth", "prev_sensor_semantic"]
+FLOAT_FIELDS = ["pos", "heading", "surrounding", "reward", "species_rewards"]
+
+
+def random_actions(rng, W, A):
+    acts = np.zeros((W, A, 6), np.int32)
+    a = rng.integers(0, 6, (W, A))
+    acts[np.arange(W)[:, None], np.arange(A)[None, :], a] = 1
+    return acts
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_trajectory_parity(seed):
+    cfg = EnvConfig(num_worlds=2, init_agents=32, max_agents=64)
+    key = jax.random.key(seed)
+    state = init_state(key, cfg)
+    oracle = Oracle(key, cfg)
+
+    rng = np.random.default_rng(seed)
+    for t in range(30):
+        acts = random_actions(rng, cfg.num_worlds, cfg.max_agents)
+        state = step(set_actions(state, jnp.array(acts)), cfg)
+        oracle.step(acts)
+
+        for f in INT_FIELDS:
+            env_v = np.asarray(getattr(state, f))
+            orc_v = oracle.field(f)
+            mism = np.argwhere(env_v != orc_v)
+            assert mism.size == 0, (
+                f"step {t} field {f}: {mism.shape[0]} mismatches, first at "
+                f"{mism[0]}: env={env_v[tuple(mism[0])]} oracle={orc_v[tuple(mism[0])]}")
+        for f in FLOAT_FIELDS:
+            env_v = np.asarray(getattr(state, f))
+            orc_v = oracle.field(f)
+            np.testing.assert_allclose(env_v, orc_v, rtol=1e-5, atol=1e-4,
+                                       err_msg=f"step {t} field {f}")
+
+
+def test_env_determinism():
+    """Same seed + same actions => identical trajectories (run twice)."""
+    cfg = EnvConfig(num_worlds=2, init_agents=32, max_agents=64)
+    rng = np.random.default_rng(3)
+    acts = [random_actions(rng, cfg.num_worlds, cfg.max_agents) for _ in range(10)]
+
+    def run():
+        s = init_state(jax.random.key(5), cfg)
+        for a in acts:
+            s = step(set_actions(s, jnp.array(a)), cfg)
+        return s
+
+    s1, s2 = run(), run()
+    for f in INT_FIELDS + FLOAT_FIELDS:
+        np.testing.assert_array_equal(np.asarray(getattr(s1, f)),
+                                      np.asarray(getattr(s2, f)), err_msg=f)
+
+
+def test_jit_vs_eager():
+    """The jitted step matches eager evaluation on discrete state."""
+    from madrona_bots_tpu.env.env import step_systems, sensor_pass
+    cfg = EnvConfig(num_worlds=2, init_agents=16, max_agents=32)
+    s = init_state(jax.random.key(1), cfg)
+    rng = np.random.default_rng(1)
+    s_j = s
+    s_e = jax.tree.map(jnp.copy, s)  # step() donates s_j's buffers
+    for _ in range(5):
+        acts = random_actions(rng, cfg.num_worlds, cfg.max_agents)
+        # separate device buffers: step() donates its input state (which
+        # includes the action array written by set_actions)
+        s_j = step(set_actions(s_j, jnp.array(acts)), cfg)
+        with jax.disable_jit():
+            s_e = sensor_pass(step_systems(set_actions(s_e, jnp.array(acts)), cfg), cfg)
+        for f in INT_FIELDS:
+            np.testing.assert_array_equal(np.asarray(getattr(s_j, f)),
+                                          np.asarray(getattr(s_e, f)), err_msg=f)
