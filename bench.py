@@ -1,0 +1,104 @@
+"""Benchmark: aggregate env-steps/s on the attached TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is measured against the BASELINE.json north star of 10M
+env-steps/s aggregate at 8192 worlds/chip (the reference publishes no
+numbers — BASELINE.md).
+
+Modes (env var BENCH_MODE): "env" (default) = pure simulator throughput at
+8192 worlds (random actions resampled on device); "train" = fused A2C
+actor-learner tick throughput.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def bench_env(num_worlds=8192, max_agents=128, iters=50, warmup=5,
+              use_pallas=None):
+    from madrona_bots_tpu.config import EnvConfig, NUM_ACTIONS
+    from madrona_bots_tpu.env import env as env_mod
+    from madrona_bots_tpu.env.state import init_state
+
+    if use_pallas is None:
+        use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
+    cfg = EnvConfig(num_worlds=num_worlds, init_agents=32,
+                    max_agents=max_agents)
+
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def tick(state, key):
+        a = jax.random.randint(key, (num_worlds, max_agents), 0, NUM_ACTIONS)
+        acts = jax.nn.one_hot(a, NUM_ACTIONS, dtype=jnp.int32)
+        state = state.replace(action=acts)
+        return env_mod.sensor_pass(env_mod.step_systems(state, cfg), cfg,
+                                   use_pallas)
+
+    state = init_state(jax.random.key(0), cfg)
+    key = jax.random.key(1)
+    for i in range(warmup):
+        state = tick(state, jax.random.fold_in(key, i))
+    jax.block_until_ready(state.alive)
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state = tick(state, jax.random.fold_in(key, warmup + i))
+    jax.block_until_ready(state.alive)
+    dt = time.perf_counter() - t0
+    return num_worlds * iters / dt
+
+
+def bench_train(num_worlds=8192, max_agents=128, iters=20, warmup=3):
+    from madrona_bots_tpu.config import EnvConfig
+    from madrona_bots_tpu.env.state import init_state
+    from madrona_bots_tpu.learn.a2c import init_train_states, make_train_tick
+    from madrona_bots_tpu.models import ActorCritic, SpeciesNetGenerator
+
+    cfg = EnvConfig(num_worlds=num_worlds, init_agents=32,
+                    max_agents=max_agents)
+    gen = SpeciesNetGenerator(cfg.obs_dim, 6, 128, cfg.hidden_state_dim, seed=0)
+    models = [ActorCritic.from_generator(gen) for _ in range(cfg.num_species)]
+    tick, opt = make_train_tick(models, cfg)
+    tstates = init_train_states(models, jax.random.key(1), opt)
+    state = init_state(jax.random.key(0), cfg)
+    key = jax.random.key(2)
+    for i in range(warmup):
+        state, tstates, _ = tick(state, tstates, jax.random.fold_in(key, i))
+    jax.block_until_ready(state.alive)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, tstates, _ = tick(state, tstates,
+                                 jax.random.fold_in(key, warmup + i))
+    jax.block_until_ready(state.alive)
+    dt = time.perf_counter() - t0
+    return num_worlds * iters / dt
+
+
+def main():
+    mode = os.environ.get("BENCH_MODE", "env")
+    num_worlds = int(os.environ.get("BENCH_WORLDS", "8192"))
+    if mode == "train":
+        value = bench_train(num_worlds=num_worlds)
+        metric = f"train_env_steps_per_sec_{num_worlds}w"
+    else:
+        value = bench_env(num_worlds=num_worlds)
+        metric = f"env_steps_per_sec_{num_worlds}w"
+    north_star = 1e7  # BASELINE.json: >=10M env-steps/s aggregate
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(value / north_star, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

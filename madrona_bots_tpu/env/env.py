@@ -153,12 +153,10 @@ def init_and_sense(key: jax.Array, cfg: EnvConfig, use_pallas: bool = False) -> 
     return sensor_pass(init_state(key, cfg), cfg, use_pallas)
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
-def shift_observations(state: WorldState, cfg: EnvConfig) -> WorldState:
+def shift_observations_impl(state: WorldState) -> WorldState:
     """The ShiftObservations graph (sim.cpp:1190-1220): cur -> prev for the
     7 obs components + hidden state. Field-to-field (deviation D4: the
     reference copies hitFriendly into prev.hitEnemy, sim.cpp:1034)."""
-    del cfg
     return state.replace(
         prev_species=state.species,
         prev_pos=state.pos,
@@ -169,6 +167,12 @@ def shift_observations(state: WorldState, cfg: EnvConfig) -> WorldState:
         prev_stats=state.stats,
         prev_hidden=state.hidden,
     )
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
+def shift_observations(state: WorldState, cfg: EnvConfig) -> WorldState:
+    del cfg
+    return shift_observations_impl(state)
 
 
 def set_actions(state: WorldState, actions: jax.Array) -> WorldState:

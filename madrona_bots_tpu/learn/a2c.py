@@ -1,0 +1,176 @@
+"""Per-species TD(0) advantage actor-critic — one fused on-device train tick.
+
+Mirrors `train_step` (reference: learn/training_loop.py:29-137) but stays
+entirely on device: sim step, per-species forward/sample/loss/Adam update,
+action & memory write-back, and the obs shift compose into ONE jitted
+function. The reference's species-major tensor slicing (cumsum of
+species_count_tensor, training_loop.py:43-45) becomes per-species masks over
+the padded [W*A] batch — no sort, no host readbacks.
+
+Sequencing note (deviation vs the reference's trap, SURVEY §5 quirk 7): the
+reference calls shift_observations() INSIDE the species loop, so later
+species see earlier species' freshly written actions/memories already shifted
+into the Prev buffers. We shift ONCE after all species — the semantics
+training_loop.py evidently intends (prev tensors = previous tick).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from madrona_bots_tpu.config import NUM_ACTIONS, EnvConfig
+from madrona_bots_tpu.env import env as env_mod
+from madrona_bots_tpu.env.state import WorldState
+from madrona_bots_tpu.learn.obs import construct_obs
+from madrona_bots_tpu.models.actor_critic import ActorCritic, compute_loss
+
+f32 = jnp.float32
+
+
+class SpeciesTrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+
+
+def make_optimizer(lr: float = 3e-4) -> optax.GradientTransformation:
+    """Adam, reference defaults (training_loop.py:197, torch.optim.Adam)."""
+    return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+
+
+def init_train_states(models: Sequence[ActorCritic], key: jax.Array,
+                      optimizer: optax.GradientTransformation):
+    states = []
+    for i, m in enumerate(models):
+        params = m.init(jax.random.fold_in(key, i))
+        states.append(SpeciesTrainState(params, optimizer.init(params)))
+    return tuple(states)
+
+
+def _species_update(model: ActorCritic, optimizer, ts: SpeciesTrainState,
+                    obs_cur, obs_prev, mem_cur, mem_prev, prev_actions,
+                    rewards, mask, key, gamma: float, proper_log_probs: bool):
+    """One species' gradient step. All inputs flattened [N=W*A, ...] with a
+    [N] f32 mask selecting this species' alive agents."""
+
+    # Current forward: action distribution + V(s') + new memory
+    # (training_loop.py:59-60).
+    logits, v_new, new_mem = model.forward(ts.params, obs_cur, mem_cur)
+    actions = jax.random.categorical(key, logits, axis=-1)
+
+    def loss_fn(params):
+        # Prev forward: pi(a_prev | s_prev), V(s_prev) (training_loop.py:87-94).
+        logits_p, v_prev, _ = model.forward(params, obs_prev, mem_prev)
+        if proper_log_probs:
+            logp_all = jax.nn.log_softmax(logits_p, axis=-1)
+        else:
+            # Reference indexes RAW actor outputs as "log probs"
+            # (training_loop.py:94 with models.py:169 logits).
+            logp_all = logits_p
+        logp = jnp.take_along_axis(logp_all, prev_actions[:, None], axis=1)[:, 0]
+        actor_loss, critic_loss = compute_loss(
+            logp, rewards, v_prev, jax.lax.stop_gradient(v_new),
+            gamma=gamma, mask=mask)
+        return actor_loss + critic_loss, (actor_loss, critic_loss)
+
+    (total, (actor_loss, critic_loss)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(ts.params)
+    updates, new_opt = optimizer.update(grads, ts.opt_state, ts.params)
+    new_params = optax.apply_updates(ts.params, updates)
+
+    denom = jnp.maximum(mask.sum(), 1.0)
+    logp_taken = jnp.take_along_axis(
+        jax.nn.log_softmax(logits, axis=-1), actions[:, None], axis=1)[:, 0]
+    probs = jax.nn.softmax(logits, axis=-1)
+    entropy = -jnp.sum(probs * jnp.log(jnp.clip(probs, 1e-12)), axis=-1)
+    metrics = {
+        "actor_loss": actor_loss,
+        "critic_loss": critic_loss,
+        "total_loss": total,
+        "count": mask.sum(),
+        "reward": jnp.sum(rewards * mask),
+        "avg_action_prob": jnp.exp(jnp.sum(logp_taken * mask) / denom),
+        "avg_action_entropy": jnp.sum(entropy * mask) / denom,
+    }
+    return SpeciesTrainState(new_params, new_opt), actions, new_mem, metrics
+
+
+def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
+                    lr: float = 3e-4, gamma: float = 1.0,
+                    proper_log_probs: bool = False,
+                    quirk_compat: bool = False, use_pallas: bool = False):
+    """Build the fused jitted train tick.
+
+    Returns (tick, optimizer) where
+      tick(state, train_states, key) -> (state, train_states, metrics)
+    runs: sim step -> 4 species updates -> action/memory write-back -> shift.
+    """
+    optimizer = make_optimizer(lr)
+    num_species = cfg.num_species
+    assert len(models) == num_species
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def tick(state: WorldState, train_states, key):
+        state = env_mod.sensor_pass(
+            env_mod.step_systems(state, cfg), cfg, use_pallas)
+
+        W, A = state.alive.shape
+        N = W * A
+        obs_cur = construct_obs(state, cfg, prev=False,
+                                quirk_compat=quirk_compat).reshape(N, -1)
+        obs_prev = construct_obs(state, cfg, prev=True,
+                                 quirk_compat=quirk_compat).reshape(N, -1)
+        mem_cur = state.hidden.reshape(N, -1)
+        mem_prev = state.prev_hidden.reshape(N, -1)
+        rewards = state.reward.reshape(N)
+        # a_prev: the one-hot written into the action buffer last tick
+        # (training_loop.py:93).
+        prev_actions = jnp.argmax(state.action.reshape(N, NUM_ACTIONS), axis=-1)
+
+        new_action = jnp.zeros((N, NUM_ACTIONS), jnp.int32)
+        new_hidden = jnp.zeros_like(mem_cur)
+        new_tstates = []
+        metrics: Dict[str, jax.Array] = {}
+        flat_species = state.species.reshape(N)
+        flat_alive = state.alive.reshape(N)
+        for s in range(num_species):
+            mask = (flat_alive & (flat_species == s + 1)).astype(f32)
+            ts, actions, mem, m = _species_update(
+                models[s], optimizer, train_states[s],
+                obs_cur, obs_prev, mem_cur, mem_prev, prev_actions, rewards,
+                mask, jax.random.fold_in(key, s), gamma, proper_log_probs)
+            new_tstates.append(ts)
+            onehot = jax.nn.one_hot(actions, NUM_ACTIONS, dtype=jnp.int32)
+            mb = mask[:, None]
+            new_action = new_action + (onehot * mb.astype(jnp.int32))
+            new_hidden = new_hidden + mem * mb
+            for k, v in m.items():
+                metrics[f"species_{s + 1}_{k}"] = v
+
+        # shift, then write actions + memory (training_loop.py:135-137).
+        state = env_mod.shift_observations_impl(state)
+        state = state.replace(
+            action=new_action.reshape(W, A, NUM_ACTIONS),
+            hidden=new_hidden.reshape(state.hidden.shape),
+        )
+        return state, tuple(new_tstates), metrics
+
+    return tick, optimizer
+
+
+def rollout_train(tick, state, train_states, key, num_ticks: int):
+    """lax.scan the train tick for num_ticks — the zero-host-roundtrip loop."""
+
+    def body(carry, t):
+        state, tstates, key = carry
+        key, sub = jax.random.split(key)
+        state, tstates, metrics = tick(state, tstates, sub)
+        return (state, tstates, key), metrics
+
+    (state, train_states, _), metrics = jax.lax.scan(
+        body, (state, train_states, key), jnp.arange(num_ticks))
+    return state, train_states, metrics

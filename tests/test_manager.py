@@ -1,0 +1,103 @@
+"""SimManager parity-surface tests (reference: entry.cpp:16-45 flow)."""
+
+import numpy as np
+
+from madrona_bots_tpu.api import SimManager
+
+
+def test_manager_basic_flow():
+    mgr = SimManager(0, 4, 42, 32)
+    n0 = mgr.total_num_agents
+    assert n0 == 4 * 32
+
+    # species-major ordering across all worlds (the reference's global sort)
+    mgr.step()
+    n = mgr.total_num_agents
+    counts = mgr.species_count_tensor().to_numpy()
+    assert counts.shape == (4, 4)
+
+    pos = mgr.position_tensor(False).to_numpy()
+    health = mgr.health_tensor(False).to_numpy()
+    depth = mgr.depth_tensor(False).to_numpy()
+    semantic = mgr.semantic_tensor(False).to_numpy()
+    surround = mgr.surrounding_tensor(False).to_numpy()
+    reward = mgr.reward_tensor(False).to_numpy()
+    assert pos.shape == (n, 2) and pos.dtype == np.float32
+    assert health.shape == (n, 1) and health.dtype == np.float32
+    assert depth.shape == (n, 32) and depth.dtype == np.uint8
+    assert semantic.shape == (n, 32) and semantic.dtype == np.int8
+    assert surround.shape == (n, 2)
+    assert reward.shape == (n, 1)
+
+    # rows grouped by species, ascending
+    off = mgr.species_offsets()
+    assert off[-1] == n
+    sp_rows = np.asarray(mgr.state.species).reshape(-1)[mgr._perm]
+    assert (np.diff(sp_rows) >= 0).all()
+
+    # 69-dim obs concat works
+    obs = np.concatenate([depth.astype(np.float32), health, pos,
+                          semantic.astype(np.float32), surround], axis=1)
+    assert obs.shape == (n, 69)
+
+
+def test_action_write_back_roundtrip():
+    mgr = SimManager(0, 2, 7, 16)
+    mgr.step()
+    n = mgr.total_num_agents
+    acts = mgr.action_tensor(False).to_numpy()
+    acts[:] = 0
+    acts[:, 0] = 1  # everyone forward
+    mem = mgr.hidden_state_tensor(False).to_numpy()
+    mem[:] = 0.5
+    pos_before = mgr.position_tensor(False).to_numpy().copy()
+    perm_before = mgr._perm.copy()
+    mgr.step()
+    # after the step the staged actions must have been applied: everyone who
+    # survived moved (unless clamped at a wall)
+    inv = {f: i for i, f in enumerate(perm_before)}
+    state_act = np.asarray(mgr.state.action).reshape(-1, 6)
+    # prev_action holds nothing yet (no shift); instead check movement:
+    pos_after_padded = np.asarray(mgr.state.pos).reshape(-1, 2)
+    moved = 0
+    for row, flat in enumerate(perm_before):
+        if np.asarray(mgr.state.alive).reshape(-1)[flat]:
+            if not np.allclose(pos_after_padded[flat], pos_before[row]):
+                moved += 1
+    assert moved > n // 2
+    # hidden state survived the step
+    alive_flat = np.asarray(mgr.state.alive).reshape(-1)
+    hid = np.asarray(mgr.state.hidden).reshape(-1, 16)
+    kept = [np.allclose(hid[f], 0.5) for f in perm_before
+            if alive_flat[f]]
+    assert np.mean(kept) > 0.5
+
+
+def test_shift_observations_via_manager():
+    mgr = SimManager(0, 2, 3, 16)
+    mgr.step()
+    health = mgr.health_tensor(False).to_numpy().copy()
+    mgr.shift_observations()
+    prev_health = mgr.health_tensor(True).to_numpy()
+    np.testing.assert_array_equal(prev_health, health)
+
+
+def test_sensor_index_tensor():
+    mgr = SimManager(0, 2, 5, 16)
+    mgr.step()
+    idx = mgr.sensor_index_tensor().to_numpy()
+    n = mgr.total_num_agents
+    assert idx.shape == (n, 1)
+    # a permutation of exported rows
+    assert sorted(idx[:, 0].tolist()) == list(range(n))
+    # world offsets consistent with world-major enumeration
+    assert mgr.agent_offset_for_world(0) == 0
+    assert 0 < mgr.agent_offset_for_world(1) <= n
+
+
+def test_quirk_compat_depth_is_semantic():
+    mgr = SimManager(0, 1, 1, 16, quirk_compat=True)
+    mgr.step()
+    d = mgr.depth_tensor(False).to_numpy()
+    s = mgr.semantic_tensor(False).to_numpy()
+    np.testing.assert_array_equal(d, s.astype(np.uint8))
