@@ -1,0 +1,251 @@
+"""PPO actor-learner with on-device rollout buffers.
+
+BASELINE.json's north star names PPO as the scaling algorithm (configs 2-4);
+the reference itself only ships TD(0)-A2C (models.py:180-184), so A2C
+(learn/a2c.py) is the learning-curve-parity path and this module is the
+scale path. Everything stays on device: `lax.scan` collects a T-step rollout
+into compact buffers (sensor bytes stay uint8/int8 — the 69-dim float obs is
+reconstructed at update time), GAE runs over the scan axis, and each species
+takes clipped-surrogate minibatch updates. Worlds shard over the mesh like
+the A2C path; gradients psum via GSPMD.
+
+Slot semantics: capacity slots are reused by births/respawns, but only slots
+that were dead at step start can be claimed (SPEC §4.6), so `alive[t] &
+alive[t+1]` guarantees the same agent occupies the slot across the
+transition; death at t+1 terminates the trajectory with bootstrap 0.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from madrona_bots_tpu.config import NUM_ACTIONS, EnvConfig
+from madrona_bots_tpu.env import env as env_mod
+from madrona_bots_tpu.env.state import WorldState
+from madrona_bots_tpu.learn.a2c import SpeciesTrainState
+from madrona_bots_tpu.models.actor_critic import ActorCritic
+
+f32 = jnp.float32
+
+
+class Rollout(NamedTuple):
+    """[T, W, A, ...] compact per-step records."""
+    depth: jax.Array        # u8  [T, W, A, S]
+    semantic: jax.Array     # i8  [T, W, A, S]
+    health: jax.Array       # i32 [T, W, A]
+    pos: jax.Array          # f32 [T, W, A, 2]
+    surrounding: jax.Array  # f32 [T, W, A, 2]
+    memory: jax.Array       # f32 [T, W, A, H] (input memory at step t)
+    species: jax.Array      # i32 [T, W, A]
+    action: jax.Array       # i8  [T, W, A]
+    logp: jax.Array         # f32 [T, W, A]
+    value: jax.Array        # f32 [T, W, A]
+    reward: jax.Array       # f32 [T, W, A]
+    alive: jax.Array        # bool [T, W, A]
+    next_alive: jax.Array   # bool [T, W, A]
+
+
+def _flat_obs(depth, health, pos, semantic, surrounding):
+    """The 69-dim obs layout (util.py:23-28) from compact storage."""
+    return jnp.concatenate([
+        depth.astype(f32), health[..., None].astype(f32), pos.astype(f32),
+        semantic.astype(f32), surrounding.astype(f32)], axis=-1)
+
+
+def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
+                     rollout_len: int = 16, num_minibatches: int = 4,
+                     update_epochs: int = 2, clip_eps: float = 0.2,
+                     gamma: float = 0.99, gae_lambda: float = 0.95,
+                     vf_coef: float = 0.5, ent_coef: float = 0.01,
+                     lr: float = 3e-4, max_grad_norm: float = 0.5,
+                     use_pallas: bool = False):
+    """Returns (ppo_iteration, optimizer).
+
+    ppo_iteration(state, train_states, key) -> (state, train_states, metrics)
+    collects `rollout_len` env steps with the current policies and performs
+    `update_epochs x num_minibatches` clipped-surrogate updates per species.
+    """
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(max_grad_norm),
+        optax.adam(lr, eps=1e-5),
+    )
+    NS = cfg.num_species
+    T = rollout_len
+
+    def policy_step(state: WorldState, key):
+        """Sample actions for every species; returns per-slot records."""
+        W, A = state.alive.shape
+        N = W * A
+        obs = _flat_obs(state.sensor_depth, state.health, state.pos,
+                        state.sensor_semantic, state.surrounding).reshape(N, -1)
+        mem = state.hidden.reshape(N, -1)
+        flat_sp = state.species.reshape(N)
+        flat_alive = state.alive.reshape(N)
+        action = jnp.zeros(N, jnp.int32)
+        logp = jnp.zeros(N, f32)
+        value = jnp.zeros(N, f32)
+        new_hidden = jnp.zeros_like(mem)
+        for s in range(NS):
+            m = flat_alive & (flat_sp == s + 1)
+            logits, v, h = models[s].forward(tstates_params[s], obs, mem)
+            a = jax.random.categorical(jax.random.fold_in(key, s), logits)
+            lp = jnp.take_along_axis(jax.nn.log_softmax(logits, -1),
+                                     a[:, None], 1)[:, 0]
+            action = jnp.where(m, a, action)
+            logp = jnp.where(m, lp, logp)
+            value = jnp.where(m, v, value)
+            new_hidden = jnp.where(m[:, None], h, new_hidden)
+        return action, logp, value, new_hidden.reshape(state.hidden.shape)
+
+    # NOTE: models[s].forward needs params; we close over a mutable cell that
+    # the scan body reads — set per call in ppo_iteration via nonlocal.
+    tstates_params: Any = None
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def ppo_iteration(state: WorldState, train_states, key):
+        nonlocal tstates_params
+        tstates_params = [ts.params for ts in train_states]
+        W, A = state.alive.shape
+
+        def env_body(carry, t):
+            state, key = carry
+            key, k_act = jax.random.split(key)
+            mem_in = state.hidden
+            action, logp, value, new_hidden = policy_step(state, k_act)
+            onehot = jax.nn.one_hot(action, NUM_ACTIONS, dtype=jnp.int32)
+            rec_pre = dict(
+                depth=state.sensor_depth, semantic=state.sensor_semantic,
+                health=state.health, pos=state.pos,
+                surrounding=state.surrounding, memory=mem_in.reshape(W, A, -1),
+                species=state.species, alive=state.alive,
+                action=action.reshape(W, A).astype(jnp.int8),
+                logp=logp.reshape(W, A), value=value.reshape(W, A))
+            state = state.replace(
+                action=onehot.reshape(W, A, NUM_ACTIONS) * state.alive[..., None],
+                hidden=new_hidden)
+            state = env_mod.sensor_pass(env_mod.step_systems(state, cfg), cfg,
+                                        use_pallas)
+            rec = Rollout(reward=state.reward, next_alive=state.alive,
+                          **rec_pre)
+            return (state, key), rec
+
+        (state, key), roll = jax.lax.scan(env_body, (state, key),
+                                          jnp.arange(T))
+
+        # Bootstrap values at T with the current policy.
+        _, _, last_value, _ = policy_step(state, jax.random.fold_in(key, 999))
+        last_value = last_value.reshape(W, A)
+
+        # GAE over the scan axis; continuing env (no resets, quirk Q7), agent
+        # death = terminal with 0 bootstrap.
+        def gae_body(carry, rec):
+            gae, next_value = carry
+            alive_next = rec.next_alive & rec.alive
+            nv = jnp.where(alive_next, next_value, 0.0)
+            delta = rec.reward + gamma * nv - rec.value
+            gae = delta + gamma * gae_lambda * jnp.where(alive_next, gae, 0.0)
+            return (gae, rec.value), gae
+
+        (_, _), advantages = jax.lax.scan(
+            gae_body, (jnp.zeros((W, A), f32), last_value), roll, reverse=True)
+        returns = advantages + roll.value
+
+        # Flatten [T, W, A] -> [T*W*A].
+        def fl(x):
+            return x.reshape((T * W * A,) + x.shape[3:])
+
+        obs_all = _flat_obs(fl(roll.depth), fl(roll.health), fl(roll.pos),
+                            fl(roll.semantic), fl(roll.surrounding))
+        mem_all = fl(roll.memory)
+        act_all = fl(roll.action).astype(jnp.int32)
+        logp_all = fl(roll.logp)
+        adv_all = fl(advantages)
+        ret_all = fl(returns)
+        val_all = fl(roll.value)
+        sp_all = fl(roll.species)
+        alive_all = fl(roll.alive)
+
+        B = T * W * A
+        assert B % num_minibatches == 0
+        mb = B // num_minibatches
+
+        def update_species(s, ts, key):
+            mask_sp = alive_all & (sp_all == s + 1)
+
+            def loss_fn(params, idx):
+                o = obs_all[idx]
+                m = mem_all[idx]
+                a = act_all[idx]
+                lp_old = logp_all[idx]
+                adv = adv_all[idx]
+                ret = ret_all[idx]
+                vold = val_all[idx]
+                w = mask_sp[idx].astype(f32)
+                denom = jnp.maximum(w.sum(), 1.0)
+                # normalize advantages over the species minibatch
+                mu = jnp.sum(adv * w) / denom
+                var = jnp.sum((adv - mu) ** 2 * w) / denom
+                adv_n = (adv - mu) * jax.lax.rsqrt(var + 1e-8)
+
+                logits, v, _ = models[s].forward(params, o, m)
+                logp_new = jnp.take_along_axis(
+                    jax.nn.log_softmax(logits, -1), a[:, None], 1)[:, 0]
+                ratio = jnp.exp(logp_new - lp_old)
+                pg = -jnp.minimum(
+                    ratio * adv_n,
+                    jnp.clip(ratio, 1 - clip_eps, 1 + clip_eps) * adv_n)
+                v_clip = vold + jnp.clip(v - vold, -clip_eps, clip_eps)
+                v_loss = 0.5 * jnp.maximum((v - ret) ** 2, (v_clip - ret) ** 2)
+                probs = jax.nn.softmax(logits, -1)
+                ent = -jnp.sum(probs * jnp.log(jnp.clip(probs, 1e-12)), -1)
+                loss = (jnp.sum(pg * w) + vf_coef * jnp.sum(v_loss * w)
+                        - ent_coef * jnp.sum(ent * w)) / denom
+                return loss, (jnp.sum(pg * w) / denom,
+                              jnp.sum(v_loss * w) / denom,
+                              jnp.sum(ent * w) / denom)
+
+            def epoch_body(carry, e):
+                ts, key = carry
+                key, kperm = jax.random.split(key)
+                perm = jax.random.permutation(kperm, B)
+
+                def mb_body(ts, i):
+                    idx = jax.lax.dynamic_slice_in_dim(perm, i * mb, mb)
+                    (loss, aux), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True)(ts.params, idx)
+                    updates, opt = optimizer.update(grads, ts.opt_state,
+                                                    ts.params)
+                    return SpeciesTrainState(
+                        optax.apply_updates(ts.params, updates), opt), (loss, aux)
+
+                ts, losses = jax.lax.scan(mb_body, ts,
+                                          jnp.arange(num_minibatches))
+                return (ts, key), losses
+
+            (ts, _), losses = jax.lax.scan(epoch_body, (ts, key),
+                                           jnp.arange(update_epochs))
+            loss, (pg, vl, ent) = losses
+            return ts, {
+                "loss": loss.mean(), "pg_loss": pg.mean(),
+                "v_loss": vl.mean(), "entropy": ent.mean(),
+                "count": mask_sp.sum() / T,
+                "reward": jnp.sum(fl(roll.reward) * mask_sp) / T,
+            }
+
+        new_ts = []
+        metrics = {}
+        for s in range(NS):
+            ts, m = update_species(s, train_states[s],
+                                   jax.random.fold_in(key, 1000 + s))
+            new_ts.append(ts)
+            for kk, v in m.items():
+                metrics[f"species_{s + 1}_{kk}"] = v
+        metrics["env_steps"] = jnp.float32(T * W)
+        return state, tuple(new_ts), metrics
+
+    return ppo_iteration, optimizer

@@ -1,0 +1,172 @@
+"""Pallas TPU raycast kernel — the production sensor pass.
+
+Same geometry as env/raycast.py (the jnp reference; SPEC.md "Sensor pass"),
+restructured for the TPU memory hierarchy: the XLA fori_loop version streams
+[W, A, S]-sized carries through HBM on every one of the A target iterations
+(~600 ms at 8192x128 on v5e). Here each grid step owns a block of worlds,
+holds everything in VMEM, and the target loop runs entirely on-chip —
+the kernel is VPU-compute-bound instead of HBM-bound.
+
+Structure: a fori_loop over target slots; inside, a static loop over the
+worlds of the block. Per (world, target) the target's scalars are read from
+SMEM (dynamic *scalar* loads are lowerable where dynamic lane-dim vector
+loads are not) and broadcast into [S, A] tiles (rays x source agents —
+A=128 fills the lane dimension exactly). Species/finder values are carried
+through the min-reduction directly, so no gather is needed at the end.
+
+Validated elementwise against env/raycast.py in tests/test_raycast.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from madrona_bots_tpu.config import EnvConfig
+from madrona_bots_tpu.env.raycast import ray_angle_offsets
+
+_INF = 3.0e38  # python float: folds into kernel ops without const capture
+
+
+def _kernel(posx_ref, posy_ref, heading_ref, alive_ref, species_ref, offs_ref,
+            posx_s, posy_s, alive_s, species_s,
+            depth_ref, semantic_ref, finder_ref,
+            *, cfg: EnvConfig, wb: int):
+    S = cfg.sensor_size
+    A = posx_ref.shape[1]
+    r2 = jnp.float32(cfg.agent_radius * cfg.agent_radius)
+    near = jnp.float32(cfg.near)
+
+    offs = offs_ref[...].reshape(S, 1)                           # [S, 1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, A), 1)        # [1, A]
+
+    # Per-world precomputation (static unroll over the world block).
+    px, py, cos_a, sin_a, cos_h, sin_h, alive_w = [], [], [], [], [], [], []
+    for w in range(wb):
+        pxw = posx_ref[w:w + 1, :]                               # [1, A]
+        pyw = posy_ref[w:w + 1, :]
+        hw = heading_ref[w:w + 1, :]
+        ang = hw + offs                                          # [S, A]
+        px.append(pxw)
+        py.append(pyw)
+        cos_a.append(jnp.cos(ang))
+        sin_a.append(jnp.sin(ang))
+        cos_h.append(jnp.cos(hw))
+        sin_h.append(jnp.sin(hw))
+        alive_w.append(alive_ref[w:w + 1, :] != 0)
+
+    def body(b, carry):
+        t_min, sem_min, f_min, f_arg = carry
+        new_t, new_sem, new_f, new_fa = [], [], [], []
+        for w in range(wb):
+            tx = posx_s[w, b]                                    # scalars
+            ty = posy_s[w, b]
+            t_alive = alive_s[w, b] != 0
+            t_species = species_s[w, b]
+
+            ocx = tx - px[w]                                     # [1, A]
+            ocy = ty - py[w]
+            oc2 = ocx * ocx + ocy * ocy
+            ok = t_alive & (lane != b)                           # [1, A]
+
+            # Sensor fan: [S, A].
+            t_c = cos_a[w] * ocx + sin_a[w] * ocy
+            disc = r2 - (oc2 - t_c * t_c)
+            hit = (disc >= 0) & ok
+            t_hit = t_c - jnp.sqrt(jnp.maximum(disc, 0.0))
+            t_hit = jnp.where(hit & (t_hit > near), t_hit, _INF)
+            closer = t_hit < t_min[w]
+            new_t.append(jnp.where(closer, t_hit, t_min[w]))
+            new_sem.append(jnp.where(closer, t_species, sem_min[w]))
+
+            # Crosshair (finder) ray: [1, A].
+            ft_c = cos_h[w] * ocx + sin_h[w] * ocy
+            fdisc = r2 - (oc2 - ft_c * ft_c)
+            fhit = (fdisc >= 0) & ok
+            ft = ft_c - jnp.sqrt(jnp.maximum(fdisc, 0.0))
+            ft = jnp.where(fhit & (ft > near), ft, _INF)
+            fcloser = ft < f_min[w]
+            new_f.append(jnp.where(fcloser, ft, f_min[w]))
+            new_fa.append(jnp.where(fcloser, b, f_arg[w]))
+        return tuple(new_t), tuple(new_sem), tuple(new_f), tuple(new_fa)
+
+    t0 = tuple(jnp.full((S, A), _INF, jnp.float32) for _ in range(wb))
+    s0 = tuple(jnp.zeros((S, A), jnp.int32) for _ in range(wb))
+    f0 = tuple(jnp.full((1, A), _INF, jnp.float32) for _ in range(wb))
+    a0 = tuple(jnp.full((1, A), -1, jnp.int32) for _ in range(wb))
+    t_agent, sem_agent, f_t, f_arg = jax.lax.fori_loop(
+        0, A, body, (t0, s0, f0, a0))
+
+    limx = jnp.float32(cfg.world_lim_x)
+    limy = jnp.float32(cfg.world_lim_y)
+    scale = jnp.float32(255.0 / cfg.max_range)
+    safe = lambda d: jnp.where(d == 0, 1.0, d)
+
+    for w in range(wb):
+        # Walls: x = 0 / lim_x, y = 0 / lim_y.
+        ca, sa = cos_a[w], sin_a[w]
+        tx_w = jnp.minimum(
+            jnp.where(ca > 0, (limx - px[w]) / safe(ca), _INF),
+            jnp.where(ca < 0, -px[w] / safe(ca), _INF))
+        ty_w = jnp.minimum(
+            jnp.where(sa > 0, (limy - py[w]) / safe(sa), _INF),
+            jnp.where(sa < 0, -py[w] / safe(sa), _INF))
+        t_wall = jnp.minimum(tx_w, ty_w)
+        t_wall = jnp.where(t_wall > near, t_wall, _INF)
+
+        agent_wins = t_agent[w] < t_wall
+        t = jnp.minimum(t_agent[w], t_wall)
+        any_hit = t < _INF
+        semantic = jnp.where(any_hit,
+                             jnp.where(agent_wins, sem_agent[w], 0), -1)
+        db = 255 - jnp.minimum(jnp.floor(t * scale), 255.0).astype(jnp.int32)
+        depth = jnp.where(any_hit, db, 0)
+
+        src_alive = alive_w[w]                                   # [1, A]
+        depth_ref[w] = jnp.where(src_alive, depth, 0).astype(jnp.uint8)
+        semantic_ref[w] = jnp.where(src_alive, semantic, -1).astype(jnp.int8)
+        finder_ref[w:w + 1, :] = jnp.where(
+            src_alive & (f_t[w] < _INF), f_arg[w], -1)
+
+
+@partial(jax.jit, static_argnames=("cfg", "worlds_per_block", "interpret"))
+def raycast_pallas(pos, heading, alive, species, cfg: EnvConfig,
+                   worlds_per_block: int = 8, interpret: bool = False):
+    """Drop-in replacement for env.raycast.raycast (same signature/outputs)."""
+    W, A = heading.shape
+    S = cfg.sensor_size
+    wb = min(worlds_per_block, W)
+    assert W % wb == 0, (W, wb)
+
+    posx = pos[..., 0]
+    posy = pos[..., 1]
+    alive_i = alive.astype(jnp.int32)
+
+    offs = jnp.asarray(ray_angle_offsets(cfg)).reshape(1, S)
+
+    in_spec = pl.BlockSpec((wb, A), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    offs_spec = pl.BlockSpec((1, S), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    smem_spec = pl.BlockSpec((wb, A), lambda i: (i, 0), memory_space=pltpu.SMEM)
+    out3 = pl.BlockSpec((wb, S, A), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    out2 = pl.BlockSpec((wb, A), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    depth_t, semantic_t, finder = pl.pallas_call(
+        partial(_kernel, cfg=cfg, wb=wb),
+        grid=(W // wb,),
+        in_specs=[in_spec] * 5 + [offs_spec] + [smem_spec] * 4,
+        out_specs=(out3, out3, out2),
+        out_shape=(
+            jax.ShapeDtypeStruct((W, S, A), jnp.uint8),
+            jax.ShapeDtypeStruct((W, S, A), jnp.int8),
+            jax.ShapeDtypeStruct((W, A), jnp.int32),
+        ),
+        interpret=interpret,
+    )(posx, posy, heading, alive_i, species, offs,
+      posx, posy, alive_i, species)
+
+    # Kernel layout is [W, S, A]; public layout is [W, A, S].
+    return (depth_t.transpose(0, 2, 1), semantic_t.transpose(0, 2, 1), finder)

@@ -1,0 +1,101 @@
+"""Raycast geometry tests + Pallas kernel vs jnp reference equivalence."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from madrona_bots_tpu.config import EnvConfig
+from madrona_bots_tpu.env.raycast import ray_angle_offsets, raycast
+
+
+def _single(cfg, pos, heading, alive, species):
+    return raycast(jnp.array(pos)[None], jnp.array(heading)[None],
+                   jnp.array(alive)[None], jnp.array(species)[None], cfg)
+
+
+def test_sees_agent_dead_ahead():
+    cfg = EnvConfig(num_worlds=1, init_agents=4, max_agents=4)
+    pos = np.array([[20.0, 20.0], [30.0, 20.0], [0, 0], [0, 0]], np.float32)
+    heading = np.zeros(4, np.float32)
+    alive = np.array([True, True, False, False])
+    species = np.array([1, 2, 0, 0], np.int32)
+    depth, semantic, finder = _single(cfg, pos, heading, alive, species)
+    # crosshair of agent 0 is agent 1 (10m dead ahead, facing +x)
+    assert int(finder[0, 0]) == 1
+    # agent 1 faces +x; its crosshair sees nothing but wall (finder excludes walls)
+    assert int(finder[0, 1]) == -1
+    # center forward rays of agent 0 carry species 2
+    sem = np.asarray(semantic[0, 0])
+    nf = cfg.num_forward_rays
+    center = sem[nf // 2 - 1: nf // 2 + 1]
+    assert (center == 2).any()
+    # backward rays of agent 1 see agent 0
+    semb = np.asarray(semantic[0, 1])[nf:]
+    assert (semb == 1).any()
+    # depth of the agent hit is closer (larger byte) than the wall behind it
+    d = np.asarray(depth[0, 0])
+    agent_px = np.where(sem == 2)[0]
+    wall_px = np.where(sem == 0)[0]
+    assert d[agent_px].min() > d[wall_px].max() - 5
+
+
+def test_walls_everywhere_when_alone():
+    cfg = EnvConfig(num_worlds=1, init_agents=4, max_agents=4)
+    pos = np.array([[64.0, 48.0], [0, 0], [0, 0], [0, 0]], np.float32)
+    heading = np.array([0.7, 0, 0, 0], np.float32)
+    alive = np.array([True, False, False, False])
+    species = np.array([3, 0, 0, 0], np.int32)
+    depth, semantic, finder = _single(cfg, pos, heading, alive, species)
+    assert (np.asarray(semantic[0, 0]) == 0).all()  # walls only
+    assert (np.asarray(depth[0, 0]) > 0).all()
+    assert int(finder[0, 0]) == -1
+
+
+def test_near_clip_excludes_touching_agent():
+    cfg = EnvConfig(num_worlds=1, init_agents=4, max_agents=4)
+    # target circle edge at distance 0.5 < near=1.1 -> excluded
+    pos = np.array([[20.0, 20.0], [21.5, 20.0], [0, 0], [0, 0]], np.float32)
+    heading = np.zeros(4, np.float32)
+    alive = np.array([True, True, False, False])
+    species = np.array([1, 2, 0, 0], np.int32)
+    _, semantic, finder = _single(cfg, pos, heading, alive, species)
+    assert int(finder[0, 0]) == -1
+    assert (np.asarray(semantic[0, 0]) != 2).all()
+
+
+def test_ray_fan_structure():
+    cfg = EnvConfig()
+    offs = np.asarray(ray_angle_offsets(cfg))
+    assert offs.shape == (32,)
+    fov = math.radians(90)
+    # forward fan inside +-45deg, backward fan around pi
+    assert (np.abs(offs[:24]) < fov / 2).all()
+    assert (np.abs(offs[24:] - math.pi) < fov / 2).all()
+    # left-to-right sweep
+    assert (np.diff(offs[:24]) < 0).all()
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pallas_matches_reference(seed):
+    """Pallas kernel (interpret mode on CPU) == jnp reference elementwise."""
+    from madrona_bots_tpu.ops.raycast_pallas import raycast_pallas
+    cfg = EnvConfig(num_worlds=2, init_agents=16, max_agents=32)
+    k = jax.random.key(seed)
+    W, A = 2, 32
+    pos = jax.random.uniform(k, (W, A, 2)) * jnp.array([127.0, 95.0])
+    heading = jax.random.uniform(jax.random.fold_in(k, 1), (W, A)) * 6.28
+    alive = jax.random.uniform(jax.random.fold_in(k, 2), (W, A)) < 0.8
+    species = jax.random.randint(jax.random.fold_in(k, 3), (W, A), 1, 5)
+
+    d1, s1, f1 = raycast(pos, heading, alive, species, cfg)
+    d2, s2, f2 = raycast_pallas(pos, heading, alive, species, cfg,
+                                worlds_per_block=2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    sem_eq = np.asarray(s1) == np.asarray(s2)
+    dep_close = np.abs(np.asarray(d1).astype(int) - np.asarray(d2).astype(int)) <= 1
+    # allow ulp-level discrepancies at quantization boundaries only
+    assert sem_eq.mean() > 0.999, sem_eq.mean()
+    assert dep_close.all()
