@@ -18,17 +18,24 @@ import sys
 import time
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/root/jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 
-def bench_env(num_worlds=8192, max_agents=128, iters=50, warmup=5,
+def bench_env(num_worlds=8192, max_agents=128, iters=100, warmup=5,
               use_pallas=None):
     from madrona_bots_tpu.config import EnvConfig, NUM_ACTIONS
     from madrona_bots_tpu.env import env as env_mod
     from madrona_bots_tpu.env.state import init_state
 
     if use_pallas is None:
-        use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1"
+        # Pallas raycast is the production path (~2000x the XLA fori_loop
+        # sensor at 8192x128); BENCH_PALLAS=0 opts out.
+        use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     cfg = EnvConfig(num_worlds=num_worlds, init_agents=32,
                     max_agents=max_agents)
 
@@ -56,17 +63,20 @@ def bench_env(num_worlds=8192, max_agents=128, iters=50, warmup=5,
     return num_worlds * iters / dt
 
 
-def bench_train(num_worlds=8192, max_agents=128, iters=20, warmup=3):
+def bench_train(num_worlds=8192, max_agents=128, iters=20, warmup=3,
+                use_pallas=None):
     from madrona_bots_tpu.config import EnvConfig
     from madrona_bots_tpu.env.state import init_state
     from madrona_bots_tpu.learn.a2c import init_train_states, make_train_tick
     from madrona_bots_tpu.models import ActorCritic, SpeciesNetGenerator
 
+    if use_pallas is None:
+        use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     cfg = EnvConfig(num_worlds=num_worlds, init_agents=32,
                     max_agents=max_agents)
     gen = SpeciesNetGenerator(cfg.obs_dim, 6, 128, cfg.hidden_state_dim, seed=0)
     models = [ActorCritic.from_generator(gen) for _ in range(cfg.num_species)]
-    tick, opt = make_train_tick(models, cfg)
+    tick, opt = make_train_tick(models, cfg, use_pallas=use_pallas)
     tstates = init_train_states(models, jax.random.key(1), opt)
     state = init_state(jax.random.key(0), cfg)
     key = jax.random.key(2)
