@@ -53,18 +53,32 @@ def init_train_states(models: Sequence[ActorCritic], key: jax.Array,
 
 def _species_update(model: ActorCritic, optimizer, ts: SpeciesTrainState,
                     obs_cur, obs_prev, mem_cur, mem_prev, prev_actions,
-                    rewards, mask, key, gamma: float, proper_log_probs: bool):
+                    rewards, mask, key, gamma: float, proper_log_probs: bool,
+                    compute_dtype=None):
     """One species' gradient step. All inputs flattened [N=W*A, ...] with a
-    [N] f32 mask selecting this species' alive agents."""
+    [N] f32 mask selecting this species' alive agents. With compute_dtype
+    (e.g. bf16) forwards run in reduced precision against f32 master params
+    (mixed-precision; grads/optimizer stay f32)."""
+
+    def _maybe_cast(tree):
+        if compute_dtype is None:
+            return tree
+        return jax.tree.map(lambda x: x.astype(compute_dtype), tree)
+
+    def _fwd(params, obs, mem):
+        logits, v, h = model.forward(_maybe_cast(params), obs,
+                                     mem if compute_dtype is None
+                                     else mem.astype(compute_dtype))
+        return logits.astype(f32), v.astype(f32), h.astype(f32)
 
     # Current forward: action distribution + V(s') + new memory
     # (training_loop.py:59-60).
-    logits, v_new, new_mem = model.forward(ts.params, obs_cur, mem_cur)
+    logits, v_new, new_mem = _fwd(ts.params, obs_cur, mem_cur)
     actions = jax.random.categorical(key, logits, axis=-1)
 
     def loss_fn(params):
         # Prev forward: pi(a_prev | s_prev), V(s_prev) (training_loop.py:87-94).
-        logits_p, v_prev, _ = model.forward(params, obs_prev, mem_prev)
+        logits_p, v_prev, _ = _fwd(params, obs_prev, mem_prev)
         if proper_log_probs:
             logp_all = jax.nn.log_softmax(logits_p, axis=-1)
         else:
@@ -102,7 +116,8 @@ def _species_update(model: ActorCritic, optimizer, ts: SpeciesTrainState,
 def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
                     lr: float = 3e-4, gamma: float = 1.0,
                     proper_log_probs: bool = False,
-                    quirk_compat: bool = False, use_pallas: bool = False):
+                    quirk_compat: bool = False, use_pallas: bool = False,
+                    compute_dtype=None):
     """Build the fused jitted train tick.
 
     Returns (tick, optimizer) where
@@ -126,6 +141,11 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
                                  quirk_compat=quirk_compat).reshape(N, -1)
         mem_cur = state.hidden.reshape(N, -1)
         mem_prev = state.prev_hidden.reshape(N, -1)
+        if compute_dtype is not None:
+            # bf16 activations: MXU runs at 2x and the obs (bytes, small
+            # floats) lose little; params/optimizer stay f32.
+            obs_cur = obs_cur.astype(compute_dtype)
+            obs_prev = obs_prev.astype(compute_dtype)
         rewards = state.reward.reshape(N)
         # a_prev: the one-hot written into the action buffer last tick
         # (training_loop.py:93).
@@ -142,7 +162,8 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
             ts, actions, mem, m = _species_update(
                 models[s], optimizer, train_states[s],
                 obs_cur, obs_prev, mem_cur, mem_prev, prev_actions, rewards,
-                mask, jax.random.fold_in(key, s), gamma, proper_log_probs)
+                mask, jax.random.fold_in(key, s), gamma, proper_log_probs,
+                compute_dtype)
             new_tstates.append(ts)
             onehot = jax.nn.one_hot(actions, NUM_ACTIONS, dtype=jnp.int32)
             mb = mask[:, None]

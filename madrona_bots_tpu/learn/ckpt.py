@@ -93,6 +93,39 @@ class CheckpointManager:
                 os.remove(os.path.join(directory, f))
 
 
+def save_sim_state(state, path: str):
+    """Checkpoint the FULL simulator state (a capability the reference lacks:
+    it only checkpoints models — SURVEY §5 'Sim state itself is NOT
+    checkpointed'). The state is a pytree of arrays, so this is exact."""
+    import jax
+    leaves, _ = jax.tree.flatten(state)
+
+    def raw(x):  # typed PRNG key arrays serialize via their uint32 data
+        if jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+            return np.asarray(jax.random.key_data(x))
+        return np.asarray(x)
+
+    np.savez(path, **{f"s_{i}": raw(x) for i, x in enumerate(leaves)})
+
+
+def load_sim_state(template, path: str):
+    """Restore into the structure of `template` (an init_state of the same
+    EnvConfig)."""
+    import jax
+    import jax.numpy as jnp
+    data = np.load(path)
+    leaves, treedef = jax.tree.flatten(template)
+
+    def back(i, tmpl):
+        x = jnp.asarray(data[f"s_{i}"])
+        if jax.dtypes.issubdtype(tmpl.dtype, jax.dtypes.prng_key):
+            return jax.random.wrap_key_data(x)
+        return x
+
+    return jax.tree.unflatten(
+        treedef, [back(i, t) for i, t in enumerate(leaves)])
+
+
 def confirm_load(original_params, loaded_params) -> bool:
     """Parameter-equality check after restore (reference util.py:53-62)."""
     ok = True

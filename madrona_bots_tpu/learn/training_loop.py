@@ -20,6 +20,7 @@ import os
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from madrona_bots_tpu.config import EnvConfig
@@ -81,27 +82,50 @@ def train(args):
         tstates.append(SpeciesTrainState(params, opt_state))
     tstates = tuple(tstates)
 
-    tick, _ = make_train_tick(models, cfg, lr=args.lr, gamma=args.gamma,
-                              proper_log_probs=args.proper_log_probs,
-                              use_pallas=args.use_pallas)
-    state = init_state(jax.random.key(args.seed), cfg)
+    compute_dtype = {"f32": None, "bf16": jnp.bfloat16}[args.compute_dtype]
+    if args.use_mesh:
+        from madrona_bots_tpu.parallel import (make_mesh,
+                                               make_sharded_train_tick,
+                                               shard_state)
+        mesh = make_mesh()
+        tick, _ = make_sharded_train_tick(
+            models, cfg, mesh, lr=args.lr, gamma=args.gamma,
+            proper_log_probs=args.proper_log_probs,
+            use_pallas=args.use_pallas)
+        state = shard_state(init_state(jax.random.key(args.seed), cfg), mesh)
+        print(f"mesh: {len(mesh.devices.flat)} devices, worlds sharded")
+    else:
+        tick, _ = make_train_tick(models, cfg, lr=args.lr, gamma=args.gamma,
+                                  proper_log_probs=args.proper_log_probs,
+                                  use_pallas=args.use_pallas,
+                                  compute_dtype=compute_dtype)
+        state = init_state(jax.random.key(args.seed), cfg)
     key = jax.random.key(args.seed + 1)
+
+    tpb = max(1, args.ticks_per_block)
+    if tpb > 1:
+        # Amortize host sync: scan tpb ticks per device roundtrip; per-tick
+        # metrics still stream out (stacked along the scan axis).
+        import functools
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def block(state, tstates, key):
+            def body(carry, _):
+                s, ts, k = carry
+                k, sub = jax.random.split(k)
+                s, ts, m = tick(s, ts, sub)
+                return (s, ts, k), m
+            (state, tstates, _), ms = jax.lax.scan(
+                body, (state, tstates, key), None, length=tpb)
+            return state, tstates, ms
 
     best = {m: [float("inf")] * args.num_species
             for m in ("actor_loss", "critic_loss", "total_loss")}
     time_values = []
-    for rel_epoch in range(1, args.num_epochs + 1):
-        t0 = time.time()
-        key, sub = jax.random.split(key)
-        state, tstates, metrics = tick(state, tstates, sub)
-        jax.block_until_ready(state.alive)
-        dt = time.time() - t0
-        time_values.append(dt)
 
+    def handle_epoch(rel_epoch, host_metrics, dt):
         if rel_epoch % args.print_freq == 0 or rel_epoch == 1:
             print("Relative Epoch ", rel_epoch)
-
-        host_metrics = {k: float(v) for k, v in metrics.items()}
         host_metrics["epoch_fps"] = args.num_worlds / dt
         for sp in range(args.num_species):
             epoch = start_epochs[sp] + rel_epoch
@@ -119,6 +143,33 @@ def train(args):
                               tstates[sp].opt_state, f"species_{sp+1}", epoch,
                               metric_name=metric, verbose=args.verbose)
         logger.log(host_metrics)
+
+    if tpb == 1:
+        for rel_epoch in range(1, args.num_epochs + 1):
+            t0 = time.time()
+            key, sub = jax.random.split(key)
+            state, tstates, metrics = tick(state, tstates, sub)
+            jax.block_until_ready(state.alive)
+            dt = time.time() - t0
+            time_values.append(dt)
+            handle_epoch(rel_epoch, {k: float(v) for k, v in metrics.items()},
+                         dt)
+    else:
+        rel_epoch = 0
+        while rel_epoch < args.num_epochs:
+            t0 = time.time()
+            key, sub = jax.random.split(key)
+            state, tstates, ms = block(state, tstates, sub)
+            jax.block_until_ready(state.alive)
+            dt = (time.time() - t0) / tpb
+            host = {k: np.asarray(v) for k, v in ms.items()}
+            for j in range(tpb):
+                rel_epoch += 1
+                time_values.append(dt)
+                handle_epoch(rel_epoch,
+                             {k: float(v[j]) for k, v in host.items()}, dt)
+                if rel_epoch >= args.num_epochs:
+                    break
 
     avg = float(np.mean(time_values[1:])) if len(time_values) > 1 else time_values[0]
     print(f"Average FPS for simulator: {args.num_worlds / avg}")
@@ -158,6 +209,12 @@ def main(argv=None):
                         help='Pallas raycast kernel for the sensor pass')
     parser.add_argument('--ckpt_every', type=int, default=1)
     parser.add_argument('--print_freq', type=int, default=10)
+    parser.add_argument('--ticks_per_block', type=int, default=1,
+                        help='scan N ticks per host sync (throughput mode)')
+    parser.add_argument('--use_mesh', action='store_true',
+                        help='shard worlds over all available devices')
+    parser.add_argument('--compute_dtype', choices=['f32', 'bf16'],
+                        default='f32', help='forward-pass precision')
     args = parser.parse_args(argv)
     train(args)
 

@@ -70,3 +70,31 @@ def test_restore_after_training_continues(tmp_path):
     o2 = m2.forward(p2, obs, mem)
     for a, b in zip(o1, o2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sim_state_roundtrip(tmp_path):
+    """Full simulator-state checkpoint (capability beyond the reference)."""
+    import jax.numpy as jnp
+    from madrona_bots_tpu import EnvConfig, init_state, step
+    from madrona_bots_tpu.env.env import set_actions
+    from madrona_bots_tpu.learn.ckpt import load_sim_state, save_sim_state
+    cfg = EnvConfig(num_worlds=2, init_agents=16, max_agents=32)
+    s = init_state(jax.random.key(0), cfg)
+    acts = jnp.zeros((2, 32, 6), jnp.int32).at[..., 0].set(1)
+    s = step(set_actions(s, acts), cfg)
+    path = str(tmp_path / "state.npz")
+    save_sim_state(s, path)
+    s2 = load_sim_state(init_state(jax.random.key(0), cfg), path)
+
+    def raw(x):
+        if jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+            return np.asarray(jax.random.key_data(x))
+        return np.asarray(x)
+
+    for a, b in zip(jax.tree.leaves(s), jax.tree.leaves(s2)):
+        np.testing.assert_array_equal(raw(a), raw(b))
+    # restored state steps identically to the original
+    s_next = step(s, cfg)
+    s2_next = step(set_actions(s2, jnp.asarray(np.asarray(s2.action))), cfg)
+    np.testing.assert_array_equal(np.asarray(s_next.alive),
+                                  np.asarray(s2_next.alive))

@@ -50,3 +50,15 @@ def test_scan_rollout():
     assert metrics["species_1_actor_loss"].shape == (5,)
     assert np.isfinite(np.asarray(metrics["species_1_total_loss"])).all()
     assert int(state.step_count) == 5
+
+
+def test_bf16_compute_dtype():
+    cfg, models, _, _, state = _setup(num_worlds=2, max_agents=64)
+    tick, opt = make_train_tick(models, cfg, compute_dtype=jnp.bfloat16)
+    tstates = init_train_states(models, jax.random.key(1), opt)
+    state, tstates, metrics = tick(state, tstates, jax.random.key(2))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    # master params stay f32
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree.leaves(tstates[0].params))
