@@ -65,7 +65,7 @@ class SimManager:
                  init_num_agents_per_world: int,
                  env_config: Optional[EnvConfig] = None,
                  quirk_compat: bool = False,
-                 use_pallas: bool = False):
+                 use_pallas: Optional[bool] = None):
         if env_config is None:
             env_config = EnvConfig(num_worlds=num_worlds,
                                    init_agents=init_num_agents_per_world)
@@ -73,6 +73,10 @@ class SimManager:
             assert env_config.num_worlds == num_worlds
         self.cfg = env_config
         self.quirk_compat = quirk_compat
+        if use_pallas is None:
+            # Pallas sensor on accelerators; jnp reference path on CPU
+            # (where the kernel would run interpreted).
+            use_pallas = jax.devices()[0].platform != "cpu"
         self.use_pallas = use_pallas
         del gpu_id  # device placement is JAX's default device
         self.state: WorldState = init_state(jax.random.key(rand_seed), self.cfg)

@@ -23,7 +23,9 @@ import jax.numpy as jnp
 
 from madrona_bots_tpu.config import EnvConfig
 
-_INF = jnp.float32(3.0e38)
+# python float (not jnp.float32): keeps module import from initializing a
+# backend; folds into float32 ops unchanged.
+_INF = 3.0e38
 
 
 def ray_angle_offsets(cfg: EnvConfig) -> jnp.ndarray:

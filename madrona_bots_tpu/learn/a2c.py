@@ -135,17 +135,15 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
 
         W, A = state.alive.shape
         N = W * A
+        obs_dtype = f32 if compute_dtype is None else compute_dtype
         obs_cur = construct_obs(state, cfg, prev=False,
-                                quirk_compat=quirk_compat).reshape(N, -1)
+                                quirk_compat=quirk_compat,
+                                dtype=obs_dtype).reshape(N, -1)
         obs_prev = construct_obs(state, cfg, prev=True,
-                                 quirk_compat=quirk_compat).reshape(N, -1)
+                                 quirk_compat=quirk_compat,
+                                 dtype=obs_dtype).reshape(N, -1)
         mem_cur = state.hidden.reshape(N, -1)
         mem_prev = state.prev_hidden.reshape(N, -1)
-        if compute_dtype is not None:
-            # bf16 activations: MXU runs at 2x and the obs (bytes, small
-            # floats) lose little; params/optimizer stay f32.
-            obs_cur = obs_cur.astype(compute_dtype)
-            obs_prev = obs_prev.astype(compute_dtype)
         rewards = state.reward.reshape(N)
         # a_prev: the one-hot written into the action buffer last tick
         # (training_loop.py:93).

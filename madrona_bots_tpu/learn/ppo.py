@@ -57,23 +57,29 @@ def _flat_obs(depth, health, pos, semantic, surrounding):
         semantic.astype(f32), surrounding.astype(f32)], axis=-1)
 
 
+def make_ppo_optimizer(lr: float = 3e-4, max_grad_norm: float = 0.5
+                       ) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(max_grad_norm),
+        optax.adam(lr, eps=1e-5),
+    )
+
+
 def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
                      rollout_len: int = 16, num_minibatches: int = 4,
                      update_epochs: int = 2, clip_eps: float = 0.2,
                      gamma: float = 0.99, gae_lambda: float = 0.95,
                      vf_coef: float = 0.5, ent_coef: float = 0.01,
                      lr: float = 3e-4, max_grad_norm: float = 0.5,
-                     use_pallas: bool = False):
+                     use_pallas: bool = False, optimizer=None):
     """Returns (ppo_iteration, optimizer).
 
     ppo_iteration(state, train_states, key) -> (state, train_states, metrics)
     collects `rollout_len` env steps with the current policies and performs
     `update_epochs x num_minibatches` clipped-surrogate updates per species.
     """
-    optimizer = optax.chain(
-        optax.clip_by_global_norm(max_grad_norm),
-        optax.adam(lr, eps=1e-5),
-    )
+    if optimizer is None:
+        optimizer = make_ppo_optimizer(lr, max_grad_norm)
     NS = cfg.num_species
     T = rollout_len
 

@@ -57,7 +57,11 @@ def train(args):
     ckpt = CheckpointManager(base_ckpt_dir, restore=True)
     gen = SpeciesNetGenerator(args.obs_dim, args.action_dim, args.hidden_dim,
                               args.memory_dim, seed=args.seed)
-    optimizer = make_optimizer(args.lr)
+    if args.algo == "ppo":
+        from madrona_bots_tpu.learn.ppo import make_ppo_optimizer
+        optimizer = make_ppo_optimizer(args.lr)
+    else:
+        optimizer = make_optimizer(args.lr)
 
     models, tstates, start_epochs = [], [], []
     init_key = jax.random.key(args.seed)
@@ -83,7 +87,18 @@ def train(args):
     tstates = tuple(tstates)
 
     compute_dtype = {"f32": None, "bf16": jnp.bfloat16}[args.compute_dtype]
-    if args.use_mesh:
+    if args.algo == "ppo":
+        # PPO scale path (BASELINE configs 2-4): one "epoch" = one PPO
+        # iteration of `--rollout_len` on-device env steps + minibatch epochs.
+        from madrona_bots_tpu.learn.ppo import make_ppo_trainer
+        tick, _ = make_ppo_trainer(models, cfg, rollout_len=args.rollout_len,
+                                   lr=args.lr, use_pallas=args.use_pallas,
+                                   optimizer=optimizer)
+        state = init_state(jax.random.key(args.seed), cfg)
+        if args.use_mesh:
+            from madrona_bots_tpu.parallel import make_mesh, shard_state
+            state = shard_state(state, make_mesh())
+    elif args.use_mesh:
         from madrona_bots_tpu.parallel import (make_mesh,
                                                make_sharded_train_tick,
                                                shard_state)
@@ -108,6 +123,12 @@ def train(args):
         # metrics still stream out (stacked along the scan axis).
         import functools
 
+        # Metrics leave the device as ONE stacked array: the axon tunnel (and
+        # remote TPU transports generally) has high per-transfer latency, so
+        # fetching ~30 small arrays separately costs seconds per block.
+        metric_keys = sorted(jax.eval_shape(
+            tick, state, tstates, jax.random.key(0))[2].keys())
+
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def block(state, tstates, key):
             def body(carry, _):
@@ -117,32 +138,46 @@ def train(args):
                 return (s, ts, k), m
             (state, tstates, _), ms = jax.lax.scan(
                 body, (state, tstates, key), None, length=tpb)
-            return state, tstates, ms
+            stacked = jnp.stack(
+                [ms[k].astype(jnp.float32) for k in metric_keys], axis=1)
+            return state, tstates, stacked
 
     best = {m: [float("inf")] * args.num_species
             for m in ("actor_loss", "critic_loss", "total_loss")}
     time_values = []
 
-    def handle_epoch(rel_epoch, host_metrics, dt):
+    def handle_epoch(rel_epoch, host_metrics, dt, save: bool = True):
+        """Log one epoch; with save=False best-metric bookkeeping still runs
+        but file writes are deferred (block mode saves once per block —
+        per-epoch saves would dominate wall time when the reference's
+        unbounded raw-logit actor loss 'improves' every tick)."""
         if rel_epoch % args.print_freq == 0 or rel_epoch == 1:
             print("Relative Epoch ", rel_epoch)
         host_metrics["epoch_fps"] = args.num_worlds / dt
+        improved = []
         for sp in range(args.num_species):
             epoch = start_epochs[sp] + rel_epoch
             host_metrics[f"species_{sp+1}_learning_rate"] = args.lr
             host_metrics["epoch"] = epoch
-            if rel_epoch % args.ckpt_every == 0:
+            if save and rel_epoch % args.ckpt_every == 0:
                 ckpt.save(models[sp], tstates[sp].params, tstates[sp].opt_state,
                           f"species_{sp+1}", epoch, metric_name="latest",
                           verbose=args.verbose)
             for metric in ("actor_loss", "critic_loss", "total_loss"):
-                v = host_metrics[f"species_{sp+1}_{metric}"]
+                v = host_metrics.get(f"species_{sp+1}_{metric}")
+                if v is None:  # PPO uses its own metric names
+                    continue
                 if v < best[metric][sp]:
                     best[metric][sp] = v
-                    ckpt.save(models[sp], tstates[sp].params,
-                              tstates[sp].opt_state, f"species_{sp+1}", epoch,
-                              metric_name=metric, verbose=args.verbose)
+                    if save:
+                        ckpt.save(models[sp], tstates[sp].params,
+                                  tstates[sp].opt_state, f"species_{sp+1}",
+                                  epoch, metric_name=metric,
+                                  verbose=args.verbose)
+                    else:
+                        improved.append((sp, metric, epoch))
         logger.log(host_metrics)
+        return improved
 
     if tpb == 1:
         for rel_epoch in range(1, args.num_epochs + 1):
@@ -160,16 +195,29 @@ def train(args):
             t0 = time.time()
             key, sub = jax.random.split(key)
             state, tstates, ms = block(state, tstates, sub)
-            jax.block_until_ready(state.alive)
+            host_stack = np.asarray(ms)          # one [tpb, M] transfer
             dt = (time.time() - t0) / tpb
-            host = {k: np.asarray(v) for k, v in ms.items()}
+            improved = set()
             for j in range(tpb):
                 rel_epoch += 1
                 time_values.append(dt)
-                handle_epoch(rel_epoch,
-                             {k: float(v[j]) for k, v in host.items()}, dt)
+                improved.update(handle_epoch(
+                    rel_epoch,
+                    dict(zip(metric_keys, host_stack[j].tolist())), dt,
+                    save=False))
                 if rel_epoch >= args.num_epochs:
                     break
+            # One save pass per block: latest + any bests that improved.
+            for sp in range(args.num_species):
+                epoch = start_epochs[sp] + rel_epoch
+                ckpt.save(models[sp], tstates[sp].params, tstates[sp].opt_state,
+                          f"species_{sp+1}", epoch, metric_name="latest",
+                          verbose=args.verbose)
+            for sp, metric, _ in sorted({(s, m, 0) for s, m, _ in improved}):
+                epoch = start_epochs[sp] + rel_epoch
+                ckpt.save(models[sp], tstates[sp].params, tstates[sp].opt_state,
+                          f"species_{sp+1}", epoch, metric_name=metric,
+                          verbose=args.verbose)
 
     avg = float(np.mean(time_values[1:])) if len(time_values) > 1 else time_values[0]
     print(f"Average FPS for simulator: {args.num_worlds / avg}")
@@ -215,6 +263,10 @@ def main(argv=None):
                         help='shard worlds over all available devices')
     parser.add_argument('--compute_dtype', choices=['f32', 'bf16'],
                         default='f32', help='forward-pass precision')
+    parser.add_argument('--algo', choices=['a2c', 'ppo'], default='a2c',
+                        help='a2c = reference-parity TD(0); ppo = scale path')
+    parser.add_argument('--rollout_len', type=int, default=16,
+                        help='PPO: env steps per iteration')
     args = parser.parse_args(argv)
     train(args)
 

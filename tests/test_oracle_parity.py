@@ -92,3 +92,41 @@ def test_jit_vs_eager():
         for f in INT_FIELDS:
             np.testing.assert_array_equal(np.asarray(getattr(s_j, f)),
                                           np.asarray(getattr(s_e, f)), err_msg=f)
+
+
+@pytest.mark.parametrize("pattern", ["breed", "shoot", "mixed"])
+def test_trajectory_parity_directed(pattern):
+    """Adversarial action patterns: maximize slot-allocator churn (everyone
+    breeding) and damage/death churn (everyone shooting)."""
+    cfg = EnvConfig(num_worlds=2, init_agents=32, max_agents=48)
+    key = jax.random.key(11)
+    state = init_state(key, cfg)
+    oracle = Oracle(key, cfg)
+    rng = np.random.default_rng(11)
+
+    for t in range(25):
+        acts = np.zeros((2, 48, 6), np.int32)
+        if pattern == "breed":
+            acts[:, :, 5] = 1
+            acts[:, :, 0] = rng.integers(0, 2, (2, 48))  # some move too
+        elif pattern == "shoot":
+            acts[:, :, 4] = 1
+            acts[:, :, 2] = rng.integers(0, 2, (2, 48))
+        else:
+            a = rng.integers(0, 6, (2, 48))
+            acts[np.arange(2)[:, None], np.arange(48)[None, :], a] = 1
+            acts[:, :, 4] |= rng.integers(0, 2, (2, 48)).astype(np.int32)
+            acts[:, :, 5] |= rng.integers(0, 2, (2, 48)).astype(np.int32)
+        state = step(set_actions(state, jnp.array(acts)), cfg)
+        oracle.step(acts)
+        for f in INT_FIELDS:
+            env_v = np.asarray(getattr(state, f))
+            orc_v = oracle.field(f)
+            mism = np.argwhere(env_v != orc_v)
+            assert mism.size == 0, (
+                f"{pattern} step {t} field {f}: first mismatch {mism[0]}: "
+                f"env={env_v[tuple(mism[0])]} oracle={orc_v[tuple(mism[0])]}")
+        for f in FLOAT_FIELDS:
+            np.testing.assert_allclose(
+                np.asarray(getattr(state, f)), oracle.field(f),
+                rtol=1e-5, atol=1e-4, err_msg=f"{pattern} step {t} field {f}")
