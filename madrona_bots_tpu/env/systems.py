@@ -19,6 +19,15 @@ Each function here is one "taskgraph node" of the reference Step graph
 CUDA atomics become deterministic reductions (segment sums / scatter-min with
 "lowest slot wins" — SPEC.md §3-4); dynamic entity rows become a free-slot
 allocator over the padded capacity (SPEC.md deviation D2).
+
+TPU note: there are NO dynamic-index `gather`/`scatter` ops in this hot path.
+XLA lowers per-element dynamic indexing along the minor (lane) dimension to a
+serial loop on TPU — measured ~450 ms/step at 8192x128 worlds. Every indexed
+read/write is instead expressed as a one-hot contraction (`einsum` against a
+`idx == iota` mask), which the VPU/MXU executes in a handful of fused passes
+(~ms). The contractions are bit-exact: a one-hot row has at most one nonzero,
+so each f32 sum has at most one term, and all integer payloads here are far
+below 2^24.
 """
 
 from __future__ import annotations
@@ -45,6 +54,24 @@ f32 = jnp.float32
 
 
 # ---------------------------------------------------------------------------
+# One-hot indexing primitives (the TPU replacement for gather/scatter)
+# ---------------------------------------------------------------------------
+
+def onehot_mask(idx: jax.Array, n: int) -> jax.Array:
+    """[..., n] bool one-hot of idx; any idx outside [0, n) -> all-zero row."""
+    return idx[..., None] == jnp.arange(n, dtype=i32)
+
+
+def onehot_gather(vals: jax.Array, oh: jax.Array) -> jax.Array:
+    """Gather vals[w, idx] as a one-hot contraction.
+
+    vals: [W, C] numeric; oh: [W, ..., C] bool one-hot of idx.
+    Returns [W, ...] f32 — exact (<=1 nonzero term per sum); zero-row -> 0.
+    """
+    return jnp.einsum("w...c,wc->w...", oh.astype(f32), vals.astype(f32))
+
+
+# ---------------------------------------------------------------------------
 # Slot allocator (replaces makeEntity/RecycleEntitiesNode, sim.cpp:1132)
 # ---------------------------------------------------------------------------
 
@@ -60,39 +87,44 @@ def claim_slots(free_mask: jax.Array, active: jax.Array):
     the deterministic replacement for Madrona's entity-row allocation order.
     """
     W, A = free_mask.shape
-    V = active.shape[1]
-    w_ix = jnp.arange(W)[:, None]
+    slot_ids_f = jnp.arange(A, dtype=f32)
 
     free_rank = jnp.cumsum(free_mask.astype(i32), axis=1) - 1        # [W, A]
     num_free = jnp.sum(free_mask.astype(i32), axis=1)                # [W]
-    slot_ids = jnp.broadcast_to(jnp.arange(A, dtype=i32), (W, A))
 
-    # slot_of_rank[w, r] = index of the r-th free slot in world w.
-    rank_idx = jnp.where(free_mask, free_rank, A)                    # A -> dropped
-    slot_of_rank = jnp.full((W, A), -1, i32).at[w_ix, rank_idx].set(
-        slot_ids, mode="drop")
+    # slot_of_rank[w, r] = index of the r-th free slot in world w (0 if the
+    # rank is empty — only ever read at granted ranks, which always exist).
+    rank_oh = onehot_mask(jnp.where(free_mask, free_rank, -1), A)    # [W, A, R]
+    slot_of_rank = jnp.einsum("war,a->wr", rank_oh.astype(f32), slot_ids_f)
 
     want_rank = jnp.cumsum(active.astype(i32), axis=1) - 1           # [W, V]
     granted = active & (want_rank < num_free[:, None])
-    safe_rank = jnp.clip(want_rank, 0, A - 1)
+    want_oh = onehot_mask(jnp.where(granted, want_rank, -1), A)      # [W, V, R]
     slot_for_v = jnp.where(
         granted,
-        jnp.take_along_axis(slot_of_rank, safe_rank, axis=1),
+        jnp.einsum("wvr,wr->wv", want_oh.astype(f32), slot_of_rank).astype(i32),
         -1,
-    ).astype(i32)
+    )
 
-    claimed = jnp.zeros((W, A), bool).at[w_ix, jnp.where(granted, slot_for_v, A)].set(
-        True, mode="drop")
+    claimed = jnp.sum(onehot_mask(slot_for_v, A), axis=1) > 0        # [W, A]
     return slot_for_v, free_mask & ~claimed
 
 
 def scatter_from_claims(dst: jax.Array, slot_for_v: jax.Array, values: jax.Array):
-    """dst[w, slot_for_v[w, v]] = values[w, v] for granted claims (slot >= 0)."""
-    W = dst.shape[0]
+    """dst[w, slot_for_v[w, v]] = values[w, v] for granted claims (slot >= 0).
+
+    One-hot scatter: slots are unique per world, so the einsum sum has at most
+    one term per destination — exact for f32 and for int payloads < 2^24.
+    """
     A = dst.shape[1]
-    w_ix = jnp.arange(W)[:, None]
-    idx = jnp.where(slot_for_v >= 0, slot_for_v, A)
-    return dst.at[w_ix, idx].set(values, mode="drop")
+    oh = onehot_mask(slot_for_v, A).astype(f32)                      # [W, V, A]
+    hit = jnp.sum(oh, axis=1) > 0                                    # [W, A]
+    if values.ndim == 3:                                             # [W, V, D]
+        contrib = jnp.einsum("wva,wvd->wad", oh, values.astype(f32))
+        hit = hit[..., None]
+    else:                                                            # [W, V]
+        contrib = jnp.einsum("wva,wv->wa", oh, values.astype(f32))
+    return jnp.where(hit, contrib.astype(dst.dtype), dst)
 
 
 # ---------------------------------------------------------------------------
@@ -126,9 +158,7 @@ def food_spawn(food_count, food_cell, num_food, world_keys, t, cfg: EnvConfig):
     Sequential attempt semantics (attempt 1 sees attempt 0's placement);
     RNG per SPEC.md "RNG discipline".
     """
-    W = food_count.shape[0]
     P = cfg.max_food_packages
-    w_ix = jnp.arange(W)
 
     def draws(wkey):
         k = jax.random.fold_in(jax.random.fold_in(wkey, t), SALT_FOOD)
@@ -146,18 +176,22 @@ def food_spawn(food_count, food_cell, num_food, world_keys, t, cfg: EnvConfig):
     n_eff = jnp.minimum(n, jnp.maximum(cfg.total_allowed_food - num_food, 0))
     gate_ok = gate == 0
 
+    C = cfg.num_chunks
     for j in range(2):
         active = gate_ok & (j < n_eff)
         c = per[:, j, 0] + per[:, j, 1] * cfg.num_chunks_x          # [W]
         cell = per[:, j, 2:4].astype(i32)                            # [W, 2]
-        slots = food_count[w_ix, c, :]                               # [W, P]
-        empty = slots == 0
-        has_empty = jnp.any(empty, axis=1)
-        first_empty = jnp.argmax(empty, axis=1)
+        chunk_oh = onehot_mask(c, C)                                 # [W, C]
+        slots = food_count * chunk_oh[..., None].astype(i32)         # [W, C, P]
+        occupied = jnp.sum(slots > 0, axis=1) > 0                    # [W, P] (this chunk)
+        has_empty = jnp.any(~occupied, axis=1)
+        first_empty = jnp.argmin(occupied.astype(i32), axis=1)       # first False
         place = active & has_empty
-        pidx = jnp.where(place, first_empty, P)                      # P -> dropped
-        food_count = food_count.at[w_ix, c, pidx].set(1, mode="drop")
-        food_cell = food_cell.at[w_ix, c, pidx].set(cell, mode="drop")
+        sel = (chunk_oh[:, :, None]
+               & onehot_mask(first_empty, P)[:, None, :]
+               & place[:, None, None])                               # [W, C, P]
+        food_count = jnp.where(sel, 1, food_count)
+        food_cell = jnp.where(sel[..., None], cell[:, None, None, :], food_cell)
         num_food = num_food + place.astype(i32)
 
     return food_count, food_cell, num_food
@@ -179,17 +213,20 @@ class ActionOut(NamedTuple):
 
 def action_system(pos, heading, alive, species, action, finder, cfg: EnvConfig) -> ActionOut:
     W, A = alive.shape
-    w_ix = jnp.arange(W)[:, None]
     act = action > 0
 
-    # --- shoot: damage via previous frame's crosshair (sim.cpp:434-454) ---
-    safe_t = jnp.clip(finder, 0, A - 1)
-    target_alive = jnp.take_along_axis(alive, safe_t, axis=1)
-    target_species = jnp.take_along_axis(species, safe_t, axis=1)
+    # --- shoot: damage via previous frame's crosshair (sim.cpp:434-454).
+    # Target lookups and damage accumulation are one-hot contractions over the
+    # finder index (finder == -1 -> all-zero row); the damage einsum sums all
+    # shooters per target — the order-free integer sum that replaces the
+    # reference's atomic adds. ---
+    finder_oh = onehot_mask(finder, A)                               # [W, A, T]
+    target_alive = onehot_gather(alive, finder_oh) > 0
+    target_species = onehot_gather(species, finder_oh).astype(i32)
     valid_shot = act[..., ACTION_SHOOT] & alive & (finder >= 0) & target_alive
-    tgt_idx = jnp.where(valid_shot, finder, A)
-    damage = jnp.zeros((W, A), i32).at[w_ix, tgt_idx].add(
-        jnp.where(valid_shot, cfg.shoot_damage, 0), mode="drop")
+    damage = jnp.einsum(
+        "wat,wa->wt", finder_oh.astype(f32),
+        jnp.where(valid_shot, f32(cfg.shoot_damage), 0.0)).astype(i32)
     same = target_species == species
     hit_friendly = valid_shot & same
     hit_enemy = valid_shot & ~same
@@ -211,16 +248,17 @@ def action_system(pos, heading, alive, species, action, finder, cfg: EnvConfig) 
     new_pos = jnp.clip(new_pos, 0.0, lim)
     new_pos = jnp.where(alive[..., None], new_pos, pos)
 
-    # --- chunk tallies at NEW positions (sim.cpp:488-502), integer sums ---
+    # --- chunk tallies at NEW positions (sim.cpp:488-502), integer sums
+    # expressed as one-hot contractions over the chunk index ---
     d = new_pos - pos
     delta_len = jnp.sqrt(jnp.sum(d * d, axis=-1))
     speed_q = (delta_len * 2.0).astype(i32)  # uint32 truncation in the reference
-    cidx = chunk_index(new_pos, cfg)
-    cidx = jnp.where(alive, cidx, cfg.num_chunks)  # dead -> dropped
-    chunk_agents = jnp.zeros((W, cfg.num_chunks), i32).at[w_ix, cidx].add(
-        alive.astype(i32), mode="drop")
-    chunk_speed = jnp.zeros((W, cfg.num_chunks), i32).at[w_ix, cidx].add(
-        jnp.where(alive, speed_q, 0), mode="drop")
+    cidx = jnp.where(alive, chunk_index(new_pos, cfg), -1)  # dead -> zero row
+    chunk_oh = onehot_mask(cidx, cfg.num_chunks).astype(f32)  # [W, A, C]
+    chunk_agents = jnp.einsum("wac,wa->wc", chunk_oh,
+                              alive.astype(f32)).astype(i32)
+    chunk_speed = jnp.einsum("wac,wa->wc", chunk_oh,
+                             jnp.where(alive, speed_q, 0).astype(f32)).astype(i32)
 
     return ActionOut(new_pos, new_heading, damage, hit_friendly, hit_enemy,
                      chunk_agents, chunk_speed)
@@ -246,30 +284,37 @@ class HealthOut(NamedTuple):
 def health_sync(pos, heading, alive, species, health, action, finder, damage,
                 food_count, food_cell, num_food, cfg: EnvConfig) -> HealthOut:
     W, A = alive.shape
-    w_ix = jnp.arange(W)[:, None]
+    C = cfg.num_chunks
     act = action > 0
 
     health = jnp.where(alive, health - damage, health)
 
     # --- eat: package slots processed in order, lowest agent slot wins each
-    # (deterministic replacement for the CAS race, sim.inl:76-99) ---
-    cidx = chunk_index(pos, cfg)
+    # (deterministic replacement for the CAS race, sim.inl:76-99). All
+    # chunk-indexed reads and the per-chunk winner min-reduction run as
+    # one-hot contractions over the agent's chunk (no gather/scatter). ---
+    cidx = jnp.where(alive, chunk_index(pos, cfg), -1)
+    chunk_oh = onehot_mask(cidx, C)                                  # [W, A, C]
+    chunk_oh_f = chunk_oh.astype(f32)
     cell = cell_in_chunk(pos, cfg)                                   # [W, A, 2]
     eaten = jnp.zeros((W, A), bool)
     slot_ids = jnp.broadcast_to(jnp.arange(A, dtype=i32), (W, A))
     BIG = i32(A)
     for p in range(cfg.max_food_packages):
-        pkg_cell = food_cell[w_ix, cidx, p]                          # [W, A, 2]
-        pkg_has = food_count[w_ix, cidx, p] > 0                      # [W, A]
+        pkg_cell = jnp.einsum("wac,wcd->wad", chunk_oh_f,
+                              food_cell[:, :, p].astype(f32)).astype(i32)
+        pkg_has = onehot_gather(food_count[:, :, p] > 0, chunk_oh) > 0
         contend = (alive & pkg_has & ~eaten
                    & jnp.all(cell == pkg_cell, axis=-1))
         key = jnp.where(contend, slot_ids, BIG)
-        winner_per_chunk = jnp.full((W, cfg.num_chunks + 1), BIG, i32).at[
-            w_ix, jnp.where(contend, cidx, cfg.num_chunks)].min(key, mode="drop")
-        is_winner = contend & (slot_ids == winner_per_chunk[w_ix, cidx])
+        winner_per_chunk = jnp.min(
+            jnp.where(chunk_oh & contend[..., None], key[..., None], BIG),
+            axis=1)                                                  # [W, C]
+        winner_here = onehot_gather(winner_per_chunk, chunk_oh).astype(i32)
+        is_winner = contend & (slot_ids == winner_here)
         eaten = eaten | is_winner
         health = health + jnp.where(is_winner, cfg.eat_health, 0)
-        consumed_chunk = winner_per_chunk[:, : cfg.num_chunks] < BIG  # [W, C]
+        consumed_chunk = winner_per_chunk < BIG                      # [W, C]
         food_count = jnp.where(
             consumed_chunk[..., None]
             & (jnp.arange(cfg.max_food_packages) == p),
@@ -278,9 +323,9 @@ def health_sync(pos, heading, alive, species, health, action, finder, damage,
 
     # --- breed (sim.cpp:547-569): post-damage, post-eat health; crosshair
     # target must be alive (at step start) and same species ---
-    safe_t = jnp.clip(finder, 0, A - 1)
-    target_alive = jnp.take_along_axis(alive, safe_t, axis=1)
-    target_species = jnp.take_along_axis(species, safe_t, axis=1)
+    finder_oh = onehot_mask(finder, A)
+    target_alive = onehot_gather(alive, finder_oh) > 0
+    target_species = onehot_gather(species, finder_oh).astype(i32)
     breeder = (act[..., ACTION_BREED] & alive & (health > cfg.breed_min_health)
                & (finder >= 0) & target_alive & (target_species == species))
     health = health - jnp.where(breeder, cfg.breed_cost, 0)
@@ -293,15 +338,12 @@ def health_sync(pos, heading, alive, species, health, action, finder, damage,
     # reference graph, so this step's deaths are not reusable — SPEC §4.6) ---
     free0 = ~alive
     child_slot, _ = claim_slots(free0, breeder)
-    born = jnp.zeros((W, A), bool).at[w_ix, jnp.where(child_slot >= 0, child_slot, A)].set(
-        True, mode="drop")
+    born = jnp.sum(onehot_mask(child_slot, A), axis=1) > 0
 
     pos = scatter_from_claims(pos, child_slot, pos)          # child at parent pos
     species = scatter_from_claims(species, child_slot, species)
-    heading = scatter_from_claims(heading, child_slot,
-                                  jnp.zeros((W, A), f32))
-    health = scatter_from_claims(health, child_slot,
-                                 jnp.full((W, A), cfg.child_health, i32))
+    heading = jnp.where(born, 0.0, heading)
+    health = jnp.where(born, i32(cfg.child_health), health)
     # The reference sets reproduced=1 whenever the breed branch fires
     # (allocation never fails there); under capacity pressure we still report
     # reproduced for the stat/bonus even if the birth was dropped.
@@ -317,7 +359,11 @@ def health_sync(pos, heading, alive, species, health, action, finder, damage,
 # ---------------------------------------------------------------------------
 
 def surrounding_observation(pos, alive, chunk_agents, chunk_speed, cfg: EnvConfig):
-    """Bilinear interpolation of chunk tallies at the agent position."""
+    """Bilinear interpolation of chunk tallies at the agent position.
+
+    The 4 corner-chunk lookups are one-hot contractions (out-of-range corner
+    -> all-zero row -> 0 contribution), keeping the arithmetic identical to
+    the gather formulation."""
     cw = jnp.float32(cfg.chunk_width)
     cell = pos / jnp.float32(cfg.cell_dim) - cw * 0.5
     ch = cell / cw                                                  # [W, A, 2]
@@ -329,10 +375,9 @@ def surrounding_observation(pos, alive, chunk_agents, chunk_speed, cfg: EnvConfi
         cx = cxf.astype(i32)
         cy = cyf.astype(i32)
         ok = (cx >= 0) & (cy >= 0) & (cx < cfg.num_chunks_x) & (cy < cfg.num_chunks_y)
-        lin = jnp.where(ok, cx + cy * cfg.num_chunks_x, 0)
-        na = jnp.take_along_axis(chunk_agents, lin, axis=1)
-        ts = jnp.take_along_axis(chunk_speed, lin, axis=1)
-        return (jnp.where(ok, na, 0).astype(f32), jnp.where(ok, ts, 0).astype(f32))
+        lin = jnp.where(ok, cx + cy * cfg.num_chunks_x, -1)          # -1 -> zero row
+        oh = onehot_mask(lin, cfg.num_chunks)                        # [W, A, C]
+        return onehot_gather(chunk_agents, oh), onehot_gather(chunk_speed, oh)
 
     fx, fy = ch0[..., 0], ch0[..., 1]
     cx_, cy_ = jnp.ceil(ch[..., 0]), jnp.ceil(ch[..., 1])
@@ -401,14 +446,12 @@ def species_info(pos, heading, alive, species, health, born_free_mask,
     pos_v = draws[:, v_species, v_rank]                              # [W, V, 2]
 
     slot_for_v, _ = claim_slots(born_free_mask, active_v)
-    w_ix = jnp.arange(W)[:, None]
-    idx = jnp.where(slot_for_v >= 0, slot_for_v, A)
-    respawned = jnp.zeros((W, A), bool).at[w_ix, idx].set(True, mode="drop")
-    pos = pos.at[w_ix, idx].set(pos_v, mode="drop")
-    heading = heading.at[w_ix, idx].set(0.0, mode="drop")
-    species = species.at[w_ix, idx].set(
-        jnp.broadcast_to(v_species + 1, (W, V)), mode="drop")
-    health = health.at[w_ix, idx].set(cfg.init_health, mode="drop")
+    respawned = jnp.sum(onehot_mask(slot_for_v, A), axis=1) > 0
+    pos = scatter_from_claims(pos, slot_for_v, pos_v)
+    heading = jnp.where(respawned, 0.0, heading)
+    species = scatter_from_claims(
+        species, slot_for_v, jnp.broadcast_to(v_species + 1, (W, V)))
+    health = jnp.where(respawned, i32(cfg.init_health), health)
 
     return SpeciesOut(counts, rewards, alive | respawned, respawned,
                       pos, heading, species, health)
@@ -427,7 +470,7 @@ def reward_system(species, health, alive, species_rewards, stats, pos,
     W, A = alive.shape
     setting = int(cfg.reward_setting)
     sp0 = jnp.clip(species - 1, 0, cfg.num_species - 1)
-    base = jnp.take_along_axis(species_rewards, sp0, axis=1)
+    base = onehot_gather(species_rewards, onehot_mask(sp0, cfg.num_species))
     pop_health = base + health.astype(f32) / 100.0 - 0.5
 
     hit_friendly = stats[..., 0] > 0
