@@ -5,7 +5,16 @@ Prints ONE JSON line:
 
 vs_baseline is measured against the BASELINE.json north star of 10M
 env-steps/s aggregate at 8192 worlds/chip (the reference publishes no
-numbers — BASELINE.md).
+numbers — BASELINE.md). The north star is an aggregate pod-slice figure;
+this harness measures ONE chip.
+
+Measurement discipline: the step loop runs as `lax.scan` blocks of
+BENCH_SCAN steps per dispatch (the TPU-native shape — rollouts never leave
+the chip), and completion is forced by fetching a checksum scalar with
+`jax.device_get`. `block_until_ready` alone is NOT a completion barrier
+through the axon TPU tunnel (it returns at enqueue time and reports dispatch
+rates ~1000x the real step time), so every timing here ends in a real
+device->host value transfer.
 
 Modes (env var BENCH_MODE): "env" (default) = pure simulator throughput at
 8192 worlds (random actions resampled on device); "train" = fused A2C
@@ -16,6 +25,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 import jax
 
@@ -26,45 +36,55 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 
-def bench_env(num_worlds=8192, max_agents=128, iters=100, warmup=5,
-              use_pallas=None):
+def _checksum(state):
+    return (state.alive.sum().astype(jnp.float32)
+            + state.pos.sum()
+            + state.sensor_depth.astype(jnp.uint32).sum().astype(jnp.float32))
+
+
+def bench_env(num_worlds=8192, max_agents=128, iters=4, warmup=1,
+              scan_len=None, use_pallas=None):
     from madrona_bots_tpu.config import EnvConfig, NUM_ACTIONS
     from madrona_bots_tpu.env import env as env_mod
     from madrona_bots_tpu.env.state import init_state
 
     if use_pallas is None:
-        # Pallas raycast is the production path (~2000x the XLA fori_loop
-        # sensor at 8192x128); BENCH_PALLAS=0 opts out.
+        # Pallas raycast is the production path (the XLA fori_loop sensor
+        # streams [W, A, S] carries through HBM on all A target iterations);
+        # BENCH_PALLAS=0 opts out.
         use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    K = scan_len or int(os.environ.get("BENCH_SCAN", "32"))
     cfg = EnvConfig(num_worlds=num_worlds, init_agents=32,
                     max_agents=max_agents)
 
-    from functools import partial
-
     @partial(jax.jit, donate_argnums=(0,))
-    def tick(state, key):
-        a = jax.random.randint(key, (num_worlds, max_agents), 0, NUM_ACTIONS)
-        acts = jax.nn.one_hot(a, NUM_ACTIONS, dtype=jnp.int32)
-        state = state.replace(action=acts)
-        return env_mod.sensor_pass(env_mod.step_systems(state, cfg), cfg,
-                                   use_pallas)
+    def block(state, key):
+        def body(s, k):
+            a = jax.random.randint(k, (num_worlds, max_agents), 0, NUM_ACTIONS)
+            acts = jax.nn.one_hot(a, NUM_ACTIONS, dtype=jnp.int32)
+            s = s.replace(action=acts)
+            s = env_mod.sensor_pass(env_mod.step_systems(s, cfg), cfg,
+                                    use_pallas)
+            return s, ()
+        state, _ = jax.lax.scan(body, state, jax.random.split(key, K))
+        return state, _checksum(state)
 
     state = init_state(jax.random.key(0), cfg)
     key = jax.random.key(1)
     for i in range(warmup):
-        state = tick(state, jax.random.fold_in(key, i))
-    jax.block_until_ready(state.alive)
+        state, c = block(state, jax.random.fold_in(key, i))
+        float(jax.device_get(c))  # real completion barrier
 
     t0 = time.perf_counter()
     for i in range(iters):
-        state = tick(state, jax.random.fold_in(key, warmup + i))
-    jax.block_until_ready(state.alive)
+        state, c = block(state, jax.random.fold_in(key, warmup + i))
+    float(jax.device_get(c))  # blocks chain through the donated state
     dt = time.perf_counter() - t0
-    return num_worlds * iters / dt
+    return num_worlds * iters * K / dt
 
 
-def bench_train(num_worlds=8192, max_agents=128, iters=20, warmup=3,
-                use_pallas=None):
+def bench_train(num_worlds=8192, max_agents=128, iters=2, warmup=1,
+                scan_len=None, use_pallas=None):
     from madrona_bots_tpu.config import EnvConfig
     from madrona_bots_tpu.env.state import init_state
     from madrona_bots_tpu.learn.a2c import init_train_states, make_train_tick
@@ -72,24 +92,36 @@ def bench_train(num_worlds=8192, max_agents=128, iters=20, warmup=3,
 
     if use_pallas is None:
         use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    K = scan_len or int(os.environ.get("BENCH_SCAN", "8"))
     cfg = EnvConfig(num_worlds=num_worlds, init_agents=32,
                     max_agents=max_agents)
     gen = SpeciesNetGenerator(cfg.obs_dim, 6, 128, cfg.hidden_state_dim, seed=0)
     models = [ActorCritic.from_generator(gen) for _ in range(cfg.num_species)]
     tick, opt = make_train_tick(models, cfg, use_pallas=use_pallas)
     tstates = init_train_states(models, jax.random.key(1), opt)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def block(state, tstates, key):
+        def body(carry, k):
+            s, ts = carry
+            s, ts, _ = tick(s, ts, k)
+            return (s, ts), ()
+        (state, tstates), _ = jax.lax.scan(
+            body, (state, tstates), jax.random.split(key, K))
+        return state, tstates, _checksum(state)
+
     state = init_state(jax.random.key(0), cfg)
     key = jax.random.key(2)
     for i in range(warmup):
-        state, tstates, _ = tick(state, tstates, jax.random.fold_in(key, i))
-    jax.block_until_ready(state.alive)
+        state, tstates, c = block(state, tstates, jax.random.fold_in(key, i))
+        float(jax.device_get(c))
     t0 = time.perf_counter()
     for i in range(iters):
-        state, tstates, _ = tick(state, tstates,
-                                 jax.random.fold_in(key, warmup + i))
-    jax.block_until_ready(state.alive)
+        state, tstates, c = block(state, tstates,
+                                  jax.random.fold_in(key, warmup + i))
+    float(jax.device_get(c))
     dt = time.perf_counter() - t0
-    return num_worlds * iters / dt
+    return num_worlds * iters * K / dt
 
 
 def main():
@@ -101,7 +133,7 @@ def main():
     else:
         value = bench_env(num_worlds=num_worlds)
         metric = f"env_steps_per_sec_{num_worlds}w"
-    north_star = 1e7  # BASELINE.json: >=10M env-steps/s aggregate
+    north_star = 1e7  # BASELINE.json: >=10M env-steps/s aggregate (pod slice)
     print(json.dumps({
         "metric": metric,
         "value": round(value, 1),

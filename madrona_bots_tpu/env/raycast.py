@@ -89,25 +89,29 @@ def raycast(
         tgt_ok = alive[:, b]                               # [W]
         oc = c[:, None, :] - pos                           # [W, A, 2] target - source
         oc2 = jnp.sum(oc * oc, axis=-1)                    # [W, A]
+        ok = tgt_ok[:, None] & (self_idx != b)[None, :]    # [W, A]
+        # Same q-folding as the Pallas kernel (ops/raycast_pallas.py): the
+        # radius term and exclusion mask collapse into one per-target vector,
+        # and disc = t_c^2 + q — arithmetic kept identical between the two
+        # implementations so they stay bit-exact against each other.
+        q = jnp.where(ok, r2 - oc2, -_INF)                 # [W, A]
 
         # Sensor rays.
         t_c = jnp.einsum("wasx,wax->was", dirs, oc)        # [W, A, S]
-        perp2 = oc2[..., None] - t_c * t_c                 # [W, A, S]
-        disc = r2 - perp2
-        hit = (disc >= 0) & tgt_ok[:, None, None] & (self_idx != b)[None, :, None]
+        disc = t_c * t_c + q[..., None]                    # [W, A, S]
         t_hit = t_c - jnp.sqrt(jnp.maximum(disc, 0.0))
-        t_hit = jnp.where(hit & (t_hit > near), t_hit, _INF)
+        valid = (disc >= 0) & (t_hit > near)
+        t_hit = jnp.where(valid, t_hit, _INF)
         closer = t_hit < t_min
         t_min = jnp.where(closer, t_hit, t_min)
         arg_min = jnp.where(closer, b, arg_min)
 
         # Finder (crosshair) ray.
         ft_c = jnp.sum(fdir * oc, axis=-1)                 # [W, A]
-        fperp2 = oc2 - ft_c * ft_c
-        fdisc = r2 - fperp2
-        fhit = (fdisc >= 0) & tgt_ok[:, None] & (self_idx != b)[None, :]
+        fdisc = ft_c * ft_c + q
         ft = ft_c - jnp.sqrt(jnp.maximum(fdisc, 0.0))
-        ft = jnp.where(fhit & (ft > near), ft, _INF)
+        fvalid = (fdisc >= 0) & (ft > near)
+        ft = jnp.where(fvalid, ft, _INF)
         fcloser = ft < f_min
         f_min = jnp.where(fcloser, ft, f_min)
         f_arg = jnp.where(fcloser, b, f_arg)

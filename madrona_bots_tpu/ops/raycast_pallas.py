@@ -7,12 +7,16 @@ restructured for the TPU memory hierarchy: the XLA fori_loop version streams
 holds everything in VMEM, and the target loop runs entirely on-chip —
 the kernel is VPU-compute-bound instead of HBM-bound.
 
-Structure: a fori_loop over target slots; inside, a static loop over the
-worlds of the block. Per (world, target) the target's scalars are read from
-SMEM (dynamic *scalar* loads are lowerable where dynamic lane-dim vector
-loads are not) and broadcast into [S, A] tiles (rays x source agents —
-A=128 fills the lane dimension exactly). Species/finder values are carried
-through the min-reduction directly, so no gather is needed at the end.
+Structure: a fori_loop over rank-compacted ALIVE target slots (dynamic trip
+count = the block's max population — dead slots can never be hit, so the
+dominant loop shrinks from capacity A to population size); inside, a static
+loop over the worlds of the block. Per (world, target) the target's scalars
+are read from SMEM (dynamic *scalar* loads are lowerable where dynamic
+lane-dim vector loads are not) and broadcast into [S, A] tiles (rays x
+source agents — A=128 fills the lane dimension exactly). Species/finder
+values are carried through the min-reduction directly, so no gather is
+needed at the end. Compaction preserves ascending slot order, so the
+running-min tie-break matches a full slot sweep bit-for-bit.
 
 Validated elementwise against env/raycast.py in tests/test_raycast.py.
 """
@@ -33,7 +37,7 @@ _INF = 3.0e38  # python float: folds into kernel ops without const capture
 
 
 def _kernel(posx_ref, posy_ref, heading_ref, alive_ref, species_ref, offs_ref,
-            posx_s, posy_s, alive_s, species_s,
+            posx_s, posy_s, species_s, compact_s, nalive_s,
             depth_ref, semantic_ref, finder_ref,
             *, cfg: EnvConfig, wb: int):
     S = cfg.sensor_size
@@ -59,39 +63,54 @@ def _kernel(posx_ref, posy_ref, heading_ref, alive_ref, species_ref, offs_ref,
         sin_h.append(jnp.sin(hw))
         alive_w.append(alive_ref[w:w + 1, :] != 0)
 
+    # The target loop runs over COMPACTED alive slots only (rank-compacted
+    # ascending, so the running-min tie-break order matches a full slot
+    # sweep), with a dynamic trip count = max alive count in the block.
+    # Dead targets can never hit (ok would be false), so skipping them is
+    # output-identical and cuts the dominant cost from A to pop-size
+    # iterations.
+    n_max = nalive_s[0, 0]
+    for w in range(1, wb):
+        n_max = jnp.maximum(n_max, nalive_s[w, 0])
+
     def body(b, carry):
         t_min, sem_min, f_min, f_arg = carry
         new_t, new_sem, new_f, new_fa = [], [], [], []
         for w in range(wb):
-            tx = posx_s[w, b]                                    # scalars
-            ty = posy_s[w, b]
-            t_alive = alive_s[w, b] != 0
-            t_species = species_s[w, b]
+            in_range = b < nalive_s[w, 0]                           # scalar bool
+            slot = compact_s[w, b]                               # scalar i32
+            tx = posx_s[w, slot]                                 # scalars
+            ty = posy_s[w, slot]
+            t_species = species_s[w, slot]
 
             ocx = tx - px[w]                                     # [1, A]
             ocy = ty - py[w]
             oc2 = ocx * ocx + ocy * ocy
-            ok = t_alive & (lane != b)                           # [1, A]
+            ok = in_range & (lane != slot)                       # [1, A]
+            # q folds the radius test AND the exclusion mask: excluded lanes
+            # get q = -inf so disc = t_c^2 + q stays negative — one [1, A]
+            # select instead of two [S, A] mask ops.
+            q = jnp.where(ok, r2 - oc2, -_INF)                   # [1, A]
 
             # Sensor fan: [S, A].
             t_c = cos_a[w] * ocx + sin_a[w] * ocy
-            disc = r2 - (oc2 - t_c * t_c)
-            hit = (disc >= 0) & ok
+            disc = t_c * t_c + q
             t_hit = t_c - jnp.sqrt(jnp.maximum(disc, 0.0))
-            t_hit = jnp.where(hit & (t_hit > near), t_hit, _INF)
+            valid = (disc >= 0) & (t_hit > near)
+            t_hit = jnp.where(valid, t_hit, _INF)
             closer = t_hit < t_min[w]
             new_t.append(jnp.where(closer, t_hit, t_min[w]))
             new_sem.append(jnp.where(closer, t_species, sem_min[w]))
 
             # Crosshair (finder) ray: [1, A].
             ft_c = cos_h[w] * ocx + sin_h[w] * ocy
-            fdisc = r2 - (oc2 - ft_c * ft_c)
-            fhit = (fdisc >= 0) & ok
+            fdisc = ft_c * ft_c + q
             ft = ft_c - jnp.sqrt(jnp.maximum(fdisc, 0.0))
-            ft = jnp.where(fhit & (ft > near), ft, _INF)
+            fvalid = (fdisc >= 0) & (ft > near)
+            ft = jnp.where(fvalid, ft, _INF)
             fcloser = ft < f_min[w]
             new_f.append(jnp.where(fcloser, ft, f_min[w]))
-            new_fa.append(jnp.where(fcloser, b, f_arg[w]))
+            new_fa.append(jnp.where(fcloser, slot, f_arg[w]))
         return tuple(new_t), tuple(new_sem), tuple(new_f), tuple(new_fa)
 
     t0 = tuple(jnp.full((S, A), _INF, jnp.float32) for _ in range(wb))
@@ -99,7 +118,7 @@ def _kernel(posx_ref, posy_ref, heading_ref, alive_ref, species_ref, offs_ref,
     f0 = tuple(jnp.full((1, A), _INF, jnp.float32) for _ in range(wb))
     a0 = tuple(jnp.full((1, A), -1, jnp.int32) for _ in range(wb))
     t_agent, sem_agent, f_t, f_arg = jax.lax.fori_loop(
-        0, A, body, (t0, s0, f0, a0))
+        0, n_max, body, (t0, s0, f0, a0))
 
     limx = jnp.float32(cfg.world_lim_x)
     limy = jnp.float32(cfg.world_lim_y)
@@ -148,16 +167,26 @@ def raycast_pallas(pos, heading, alive, species, cfg: EnvConfig,
 
     offs = jnp.asarray(ray_angle_offsets(cfg)).reshape(1, S)
 
+    # Rank-compact the alive slots (ascending, one-hot contraction — no
+    # scatter): compact[w, r] = slot of the r-th alive agent, 0-padded.
+    rank = jnp.cumsum(alive_i, axis=1) - 1                       # [W, A]
+    rank_oh = (jnp.where(alive, rank, -1)[..., None]
+               == jnp.arange(A, dtype=jnp.int32)).astype(jnp.float32)
+    compact = jnp.einsum("war,a->wr", rank_oh,
+                         jnp.arange(A, dtype=jnp.float32)).astype(jnp.int32)
+    num_alive = jnp.sum(alive_i, axis=1, keepdims=True)          # [W, 1]
+
     in_spec = pl.BlockSpec((wb, A), lambda i: (i, 0), memory_space=pltpu.VMEM)
     offs_spec = pl.BlockSpec((1, S), lambda i: (0, 0), memory_space=pltpu.VMEM)
     smem_spec = pl.BlockSpec((wb, A), lambda i: (i, 0), memory_space=pltpu.SMEM)
+    smem1_spec = pl.BlockSpec((wb, 1), lambda i: (i, 0), memory_space=pltpu.SMEM)
     out3 = pl.BlockSpec((wb, S, A), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out2 = pl.BlockSpec((wb, A), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     depth_t, semantic_t, finder = pl.pallas_call(
         partial(_kernel, cfg=cfg, wb=wb),
         grid=(W // wb,),
-        in_specs=[in_spec] * 5 + [offs_spec] + [smem_spec] * 4,
+        in_specs=[in_spec] * 5 + [offs_spec] + [smem_spec] * 4 + [smem1_spec],
         out_specs=(out3, out3, out2),
         out_shape=(
             jax.ShapeDtypeStruct((W, S, A), jnp.uint8),
@@ -166,7 +195,7 @@ def raycast_pallas(pos, heading, alive, species, cfg: EnvConfig,
         ),
         interpret=interpret,
     )(posx, posy, heading, alive_i, species, offs,
-      posx, posy, alive_i, species)
+      posx, posy, species, compact, num_alive)
 
     # Kernel layout is [W, S, A]; public layout is [W, A, S].
     return (depth_t.transpose(0, 2, 1), semantic_t.transpose(0, 2, 1), finder)
