@@ -93,11 +93,16 @@ def bench_train(num_worlds=8192, max_agents=128, iters=2, warmup=1,
     if use_pallas is None:
         use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     K = scan_len or int(os.environ.get("BENCH_SCAN", "8"))
+    # bf16 mixed precision (f32 master params/optimizer, bf16 activations) is
+    # the TPU-idiomatic training configuration; BENCH_DTYPE=f32 opts out.
+    compute_dtype = {"f32": None, "bf16": jnp.bfloat16}[
+        os.environ.get("BENCH_DTYPE", "bf16")]
     cfg = EnvConfig(num_worlds=num_worlds, init_agents=32,
                     max_agents=max_agents)
     gen = SpeciesNetGenerator(cfg.obs_dim, 6, 128, cfg.hidden_state_dim, seed=0)
     models = [ActorCritic.from_generator(gen) for _ in range(cfg.num_species)]
-    tick, opt = make_train_tick(models, cfg, use_pallas=use_pallas)
+    tick, opt = make_train_tick(models, cfg, use_pallas=use_pallas,
+                                compute_dtype=compute_dtype)
     tstates = init_train_states(models, jax.random.key(1), opt)
 
     @partial(jax.jit, donate_argnums=(0, 1))

@@ -135,3 +135,14 @@ class EnvConfig:
         assert self.sensor_size % 4 == 0, "ray fan split requires sensor_size % 4 == 0"
         assert self.max_agents >= self.init_agents
         assert self.init_agents % self.num_species == 0
+        # Species-class slot quota (SPEC deviation D2b): slot i belongs to
+        # species (i % num_species) + 1 for its whole lifetime, so each
+        # species' agents form a contiguous strided view — per-species
+        # learner batches need no gather/sort and carry 1/num_species of the
+        # rows.
+        assert self.max_agents % self.num_species == 0
+
+    @property
+    def agents_per_species(self) -> int:
+        """Per-species slot quota (deviation D2b)."""
+        return self.max_agents // self.num_species

@@ -335,13 +335,27 @@ def health_sync(pos, heading, alive, species, health, action, finder, damage,
     alive_after_death = alive & ~died
 
     # --- births claim slots free at step start (recycle runs later in the
-    # reference graph, so this step's deaths are not reusable — SPEC §4.6) ---
-    free0 = ~alive
-    child_slot, _ = claim_slots(free0, breeder)
-    born = jnp.sum(onehot_mask(child_slot, A), axis=1) > 0
-
-    pos = scatter_from_claims(pos, child_slot, pos)          # child at parent pos
-    species = scatter_from_claims(species, child_slot, species)
+    # reference graph, so this step's deaths are not reusable — SPEC §4.6).
+    # Slots are species-class partitioned (deviation D2b): a child claims a
+    # free slot of its parent's class, ascending parent order within the
+    # class. Claims run on the [W, A/NS] per-class views — 16x smaller
+    # allocator einsums and the class invariant the learner exploits. ---
+    NS = cfg.num_species
+    Asub = A // NS
+    free3 = (~alive).reshape(W, Asub, NS)
+    breeder3 = breeder.reshape(W, Asub, NS)
+    pos3 = pos.reshape(W, Asub, NS, 2)
+    species3 = species.reshape(W, Asub, NS)
+    born_c, pos_c, species_c = [], [], []
+    for c in range(NS):
+        slot_c, _ = claim_slots(free3[:, :, c], breeder3[:, :, c])
+        born_c.append(jnp.sum(onehot_mask(slot_c, Asub), axis=1) > 0)
+        pos_c.append(scatter_from_claims(pos3[:, :, c], slot_c, pos3[:, :, c]))
+        species_c.append(
+            scatter_from_claims(species3[:, :, c], slot_c, species3[:, :, c]))
+    born = jnp.stack(born_c, axis=2).reshape(W, A)
+    pos = jnp.stack(pos_c, axis=2).reshape(W, A, 2)
+    species = jnp.stack(species_c, axis=2).reshape(W, A)
     heading = jnp.where(born, 0.0, heading)
     health = jnp.where(born, i32(cfg.child_health), health)
     # The reference sets reproduced=1 whenever the breed branch fires
@@ -427,12 +441,10 @@ def species_info(pos, heading, alive, species, health, born_free_mask,
     rewards = (counts.astype(f32) / jnp.float32(cfg.init_agents)
                + avg_health / 100.0 - 2.0)
 
-    # Respawn (sim.cpp:825-836): top species s up to floor_n agents.
+    # Respawn (sim.cpp:825-836): top species s up to floor_n agents. Each
+    # species claims free slots of its own class (deviation D2b) on the
+    # [W, A/NS] per-class view.
     needed = jnp.where(counts < floor_n, floor_n - counts, 0)        # [W, NS]
-    V = NS * floor_n
-    v_species = jnp.arange(V, dtype=i32) // floor_n                  # ascending species
-    v_rank = jnp.arange(V, dtype=i32) % floor_n
-    active_v = v_rank[None, :] < needed[:, v_species]                # [W, V]
 
     def draw(wkey):
         base = jax.random.fold_in(jax.random.fold_in(wkey, t), SALT_RESPAWN)
@@ -443,15 +455,29 @@ def species_info(pos, heading, alive, species, health, born_free_mask,
         ])  # [NS, floor_n, 2]
 
     draws = jax.vmap(draw)(world_keys)                               # [W, NS, fl, 2]
-    pos_v = draws[:, v_species, v_rank]                              # [W, V, 2]
 
-    slot_for_v, _ = claim_slots(born_free_mask, active_v)
-    respawned = jnp.sum(onehot_mask(slot_for_v, A), axis=1) > 0
-    pos = scatter_from_claims(pos, slot_for_v, pos_v)
-    heading = jnp.where(respawned, 0.0, heading)
-    species = scatter_from_claims(
-        species, slot_for_v, jnp.broadcast_to(v_species + 1, (W, V)))
-    health = jnp.where(respawned, i32(cfg.init_health), health)
+    Asub = A // NS
+    free3 = born_free_mask.reshape(W, Asub, NS)
+    pos3 = pos.reshape(W, Asub, NS, 2)
+    species3 = species.reshape(W, Asub, NS)
+    heading3 = heading.reshape(W, Asub, NS)
+    health3 = health.reshape(W, Asub, NS)
+    rsp_c, pos_c, sp_c, hd_c, hl_c = [], [], [], [], []
+    for s in range(NS):
+        active_s = (jnp.arange(floor_n, dtype=i32)[None, :]
+                    < needed[:, s:s + 1])                            # [W, fl]
+        slot_s, _ = claim_slots(free3[:, :, s], active_s)
+        rsp = jnp.sum(onehot_mask(slot_s, Asub), axis=1) > 0         # [W, Asub]
+        rsp_c.append(rsp)
+        pos_c.append(scatter_from_claims(pos3[:, :, s], slot_s, draws[:, s]))
+        sp_c.append(jnp.where(rsp, i32(s + 1), species3[:, :, s]))
+        hd_c.append(jnp.where(rsp, 0.0, heading3[:, :, s]))
+        hl_c.append(jnp.where(rsp, i32(cfg.init_health), health3[:, :, s]))
+    respawned = jnp.stack(rsp_c, axis=2).reshape(W, A)
+    pos = jnp.stack(pos_c, axis=2).reshape(W, A, 2)
+    species = jnp.stack(sp_c, axis=2).reshape(W, A)
+    heading = jnp.stack(hd_c, axis=2).reshape(W, A)
+    health = jnp.stack(hl_c, axis=2).reshape(W, A)
 
     return SpeciesOut(counts, rewards, alive | respawned, respawned,
                       pos, heading, species, health)

@@ -85,7 +85,10 @@ def _species_update(model: ActorCritic, optimizer, ts: SpeciesTrainState,
             # Reference indexes RAW actor outputs as "log probs"
             # (training_loop.py:94 with models.py:169 logits).
             logp_all = logits_p
-        logp = jnp.take_along_axis(logp_all, prev_actions[:, None], axis=1)[:, 0]
+        # One-hot select (exact; [N, 6] dynamic gathers serialize on TPU).
+        logp = jnp.sum(
+            logp_all * jax.nn.one_hot(prev_actions, logp_all.shape[-1],
+                                      dtype=logp_all.dtype), axis=1)
         actor_loss, critic_loss = compute_loss(
             logp, rewards, v_prev, jax.lax.stop_gradient(v_new),
             gamma=gamma, mask=mask)
@@ -97,8 +100,10 @@ def _species_update(model: ActorCritic, optimizer, ts: SpeciesTrainState,
     new_params = optax.apply_updates(ts.params, updates)
 
     denom = jnp.maximum(mask.sum(), 1.0)
-    logp_taken = jnp.take_along_axis(
-        jax.nn.log_softmax(logits, axis=-1), actions[:, None], axis=1)[:, 0]
+    logp_soft = jax.nn.log_softmax(logits, axis=-1)
+    logp_taken = jnp.sum(
+        logp_soft * jax.nn.one_hot(actions, logp_soft.shape[-1],
+                                   dtype=logp_soft.dtype), axis=1)
     probs = jax.nn.softmax(logits, axis=-1)
     entropy = -jnp.sum(probs * jnp.log(jnp.clip(probs, 1e-12)), axis=-1)
     metrics = {
@@ -134,47 +139,66 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
             env_mod.step_systems(state, cfg), cfg, use_pallas)
 
         W, A = state.alive.shape
-        N = W * A
+        # Species-class slot partitioning (SPEC D2b): slot i belongs to
+        # species (i % NS) + 1, so each species' batch is a contiguous
+        # strided view — no sort/gather, and each net forwards only its own
+        # 1/NS of the rows (the reference achieves the same via a global
+        # species sort, sim.cpp:674-685).
+        NS = num_species
+        Asub = A // NS
+        Nc = W * Asub
         obs_dtype = f32 if compute_dtype is None else compute_dtype
         obs_cur = construct_obs(state, cfg, prev=False,
-                                quirk_compat=quirk_compat,
-                                dtype=obs_dtype).reshape(N, -1)
+                                quirk_compat=quirk_compat, dtype=obs_dtype)
         obs_prev = construct_obs(state, cfg, prev=True,
-                                 quirk_compat=quirk_compat,
-                                 dtype=obs_dtype).reshape(N, -1)
-        mem_cur = state.hidden.reshape(N, -1)
-        mem_prev = state.prev_hidden.reshape(N, -1)
-        rewards = state.reward.reshape(N)
+                                 quirk_compat=quirk_compat, dtype=obs_dtype)
+        D = obs_cur.shape[-1]
+        H = state.hidden.shape[-1]
+        obs_cur4 = obs_cur.reshape(W, Asub, NS, D)
+        obs_prev4 = obs_prev.reshape(W, Asub, NS, D)
+        mem4 = state.hidden.reshape(W, Asub, NS, H)
+        mem_prev4 = state.prev_hidden.reshape(W, Asub, NS, H)
+        rewards3 = state.reward.reshape(W, Asub, NS)
         # a_prev: the one-hot written into the action buffer last tick
         # (training_loop.py:93).
-        prev_actions = jnp.argmax(state.action.reshape(N, NUM_ACTIONS), axis=-1)
+        prev_act3 = jnp.argmax(state.action, axis=-1).reshape(W, Asub, NS)
+        alive3 = state.alive.reshape(W, Asub, NS)
+        species3 = state.species.reshape(W, Asub, NS)
 
-        new_action = jnp.zeros((N, NUM_ACTIONS), jnp.int32)
-        new_hidden = jnp.zeros_like(mem_cur)
+        action_cols, hidden_cols = [], []
         new_tstates = []
         metrics: Dict[str, jax.Array] = {}
-        flat_species = state.species.reshape(N)
-        flat_alive = state.alive.reshape(N)
         for s in range(num_species):
-            mask = (flat_alive & (flat_species == s + 1)).astype(f32)
+            mask = (alive3[:, :, s]
+                    & (species3[:, :, s] == s + 1)).astype(f32).reshape(Nc)
             ts, actions, mem, m = _species_update(
                 models[s], optimizer, train_states[s],
-                obs_cur, obs_prev, mem_cur, mem_prev, prev_actions, rewards,
+                obs_cur4[:, :, s].reshape(Nc, D),
+                obs_prev4[:, :, s].reshape(Nc, D),
+                mem4[:, :, s].reshape(Nc, H),
+                mem_prev4[:, :, s].reshape(Nc, H),
+                prev_act3[:, :, s].reshape(Nc),
+                rewards3[:, :, s].reshape(Nc),
                 mask, jax.random.fold_in(key, s), gamma, proper_log_probs,
                 compute_dtype)
             new_tstates.append(ts)
             onehot = jax.nn.one_hot(actions, NUM_ACTIONS, dtype=jnp.int32)
-            mb = mask[:, None]
-            new_action = new_action + (onehot * mb.astype(jnp.int32))
-            new_hidden = new_hidden + mem * mb
+            action_cols.append(
+                (onehot * mask[:, None].astype(jnp.int32)).reshape(
+                    W, Asub, NUM_ACTIONS))
+            hidden_cols.append((mem * mask[:, None]).reshape(W, Asub, H))
             for k, v in m.items():
                 metrics[f"species_{s + 1}_{k}"] = v
+
+        new_action = jnp.stack(action_cols, axis=2)      # [W, Asub, NS, 6]
+        new_hidden = jnp.stack(hidden_cols, axis=2)      # [W, Asub, NS, H]
 
         # shift, then write actions + memory (training_loop.py:135-137).
         state = env_mod.shift_observations_impl(state)
         state = state.replace(
             action=new_action.reshape(W, A, NUM_ACTIONS),
-            hidden=new_hidden.reshape(state.hidden.shape),
+            hidden=new_hidden.reshape(state.hidden.shape).astype(
+                state.hidden.dtype),
         )
         return state, tuple(new_tstates), metrics
 

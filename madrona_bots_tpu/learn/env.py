@@ -52,8 +52,9 @@ def main(argv=None):
     def update(s, pr, opt_state, obs, acts, rewards, values_new):
         def loss_fn(pp):
             logits, v = models[s].forward(pp, obs)
-            logp = jnp.take_along_axis(jax.nn.log_softmax(logits, -1),
-                                       acts[:, None], 1)[:, 0]
+            lsm = jax.nn.log_softmax(logits, -1)
+            logp = jnp.sum(lsm * jax.nn.one_hot(acts, lsm.shape[-1],
+                                                dtype=lsm.dtype), axis=1)
             actor, critic = legacy_loss(logp, rewards, v)
             return actor + critic
         grads = jax.grad(loss_fn)(pr)

@@ -84,29 +84,41 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
     T = rollout_len
 
     def policy_step(state: WorldState, key):
-        """Sample actions for every species; returns per-slot records."""
+        """Sample actions for every species; returns [W, A]-shaped records.
+
+        Slots are species-class partitioned (SPEC D2b), so each species'
+        batch is the contiguous strided view [:, :, s] — each net forwards
+        only its own 1/NS of the rows, no sort/gather."""
         W, A = state.alive.shape
-        N = W * A
+        Asub = A // NS
+        Nc = W * Asub
         obs = _flat_obs(state.sensor_depth, state.health, state.pos,
-                        state.sensor_semantic, state.surrounding).reshape(N, -1)
-        mem = state.hidden.reshape(N, -1)
-        flat_sp = state.species.reshape(N)
-        flat_alive = state.alive.reshape(N)
-        action = jnp.zeros(N, jnp.int32)
-        logp = jnp.zeros(N, f32)
-        value = jnp.zeros(N, f32)
-        new_hidden = jnp.zeros_like(mem)
+                        state.sensor_semantic, state.surrounding)
+        D = obs.shape[-1]
+        H = state.hidden.shape[-1]
+        obs4 = obs.reshape(W, Asub, NS, D)
+        mem4 = state.hidden.reshape(W, Asub, NS, H)
+        alive3 = state.alive.reshape(W, Asub, NS)
+        sp3 = state.species.reshape(W, Asub, NS)
+        a_c, lp_c, v_c, h_c = [], [], [], []
         for s in range(NS):
-            m = flat_alive & (flat_sp == s + 1)
-            logits, v, h = models[s].forward(tstates_params[s], obs, mem)
+            m = (alive3[:, :, s] & (sp3[:, :, s] == s + 1)).reshape(Nc)
+            logits, v, h = models[s].forward(
+                tstates_params[s], obs4[:, :, s].reshape(Nc, D),
+                mem4[:, :, s].reshape(Nc, H))
             a = jax.random.categorical(jax.random.fold_in(key, s), logits)
-            lp = jnp.take_along_axis(jax.nn.log_softmax(logits, -1),
-                                     a[:, None], 1)[:, 0]
-            action = jnp.where(m, a, action)
-            logp = jnp.where(m, lp, logp)
-            value = jnp.where(m, v, value)
-            new_hidden = jnp.where(m[:, None], h, new_hidden)
-        return action, logp, value, new_hidden.reshape(state.hidden.shape)
+            lsm = jax.nn.log_softmax(logits, -1)
+            lp = jnp.sum(lsm * jax.nn.one_hot(a, lsm.shape[-1],
+                                              dtype=lsm.dtype), axis=1)
+            a_c.append(jnp.where(m, a, 0).reshape(W, Asub))
+            lp_c.append(jnp.where(m, lp, 0.0).reshape(W, Asub))
+            v_c.append(jnp.where(m, v, 0.0).reshape(W, Asub))
+            h_c.append(jnp.where(m[:, None], h, 0.0).reshape(W, Asub, H))
+        action = jnp.stack(a_c, axis=2).reshape(W, A)
+        logp = jnp.stack(lp_c, axis=2).reshape(W, A)
+        value = jnp.stack(v_c, axis=2).reshape(W, A)
+        new_hidden = jnp.stack(h_c, axis=2).reshape(state.hidden.shape)
+        return action, logp, value, new_hidden
 
     # NOTE: models[s].forward needs params; we close over a mutable cell that
     # the scan body reads — set per call in ppo_iteration via nonlocal.
@@ -161,27 +173,29 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
             gae_body, (jnp.zeros((W, A), f32), last_value), roll, reverse=True)
         returns = advantages + roll.value
 
-        # Flatten [T, W, A] -> [T*W*A].
-        def fl(x):
-            return x.reshape((T * W * A,) + x.shape[3:])
+        # Per-class flatten [T, W, A, ...] -> [T*W*Asub, ...] for species s
+        # (SPEC D2b: class rows are a contiguous strided view).
+        Asub = A // NS
 
-        obs_all = _flat_obs(fl(roll.depth), fl(roll.health), fl(roll.pos),
-                            fl(roll.semantic), fl(roll.surrounding))
-        mem_all = fl(roll.memory)
-        act_all = fl(roll.action).astype(jnp.int32)
-        logp_all = fl(roll.logp)
-        adv_all = fl(advantages)
-        ret_all = fl(returns)
-        val_all = fl(roll.value)
-        sp_all = fl(roll.species)
-        alive_all = fl(roll.alive)
+        def fl(x, s):
+            x4 = x.reshape((T, W, Asub, NS) + x.shape[3:])
+            return x4[:, :, :, s].reshape((T * W * Asub,) + x.shape[3:])
 
-        B = T * W * A
+        B = T * W * Asub
         assert B % num_minibatches == 0
         mb = B // num_minibatches
 
         def update_species(s, ts, key):
-            mask_sp = alive_all & (sp_all == s + 1)
+            obs_all = _flat_obs(fl(roll.depth, s), fl(roll.health, s),
+                                fl(roll.pos, s), fl(roll.semantic, s),
+                                fl(roll.surrounding, s))
+            mem_all = fl(roll.memory, s)
+            act_all = fl(roll.action, s).astype(jnp.int32)
+            logp_all = fl(roll.logp, s)
+            adv_all = fl(advantages, s)
+            ret_all = fl(returns, s)
+            val_all = fl(roll.value, s)
+            mask_sp = fl(roll.alive, s) & (fl(roll.species, s) == s + 1)
 
             def loss_fn(params, idx):
                 o = obs_all[idx]
@@ -199,8 +213,10 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
                 adv_n = (adv - mu) * jax.lax.rsqrt(var + 1e-8)
 
                 logits, v, _ = models[s].forward(params, o, m)
-                logp_new = jnp.take_along_axis(
-                    jax.nn.log_softmax(logits, -1), a[:, None], 1)[:, 0]
+                lsm_new = jax.nn.log_softmax(logits, -1)
+                logp_new = jnp.sum(
+                    lsm_new * jax.nn.one_hot(a, lsm_new.shape[-1],
+                                             dtype=lsm_new.dtype), axis=1)
                 ratio = jnp.exp(logp_new - lp_old)
                 pg = -jnp.minimum(
                     ratio * adv_n,
@@ -240,7 +256,7 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
                 "loss": loss.mean(), "pg_loss": pg.mean(),
                 "v_loss": vl.mean(), "entropy": ent.mean(),
                 "count": mask_sp.sum() / T,
-                "reward": jnp.sum(fl(roll.reward) * mask_sp) / T,
+                "reward": jnp.sum(fl(roll.reward, s) * mask_sp) / T,
             }
 
         new_ts = []

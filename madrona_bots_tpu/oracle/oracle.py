@@ -205,14 +205,25 @@ class OracleWorld:
         died = alive0 & (self.health <= 0)
         alive1 = alive0 & ~died
 
-        # births: free-at-step-start slots, ascending parent order
-        free = [i for i in range(A) if not alive0[i]]
+        # births: free-at-step-start slots OF THE PARENT'S SPECIES CLASS
+        # (slot i belongs to species (i % NS) + 1 — deviation D2b),
+        # ascending parent order within each class.
+        NS = cfg.num_species
+        free_by_class = {
+            c: [i for i in range(A) if not alive0[i] and i % NS == c]
+            for c in range(NS)
+        }
+        fi_by_class = {c: 0 for c in range(NS)}
         born = np.zeros(A, bool)
-        fi = 0
         for a in range(A):
-            if breeder[a] and fi < len(free):
+            if not breeder[a]:
+                continue
+            cls = int(self.species[a]) - 1
+            free = free_by_class[cls]
+            fi = fi_by_class[cls]
+            if fi < len(free):
                 c = free[fi]
-                fi += 1
+                fi_by_class[cls] = fi + 1
                 born[c] = True
                 self.pos[c] = self.pos[a].copy()
                 self.heading[c] = 0.0
@@ -245,16 +256,19 @@ class OracleWorld:
         self.species_rewards = rewards.copy()
 
         respawned = np.zeros(A, bool)
-        free2 = [i for i in range(A) if (not alive0[i]) and (not born[i])]
-        fi = 0
         floor_n = cfg.respawn_floor
         base = jax.random.fold_in(jax.random.fold_in(self.key, t), SALT_RESPAWN)
         lims = np.array([cfg.world_lim_x, cfg.world_lim_y], np.float32)
         for s in range(cfg.num_species):
             if counts[s] >= floor_n:
                 continue
+            # free-at-step-start, not claimed by a birth, of species class s
+            # (deviation D2b).
+            free2 = [i for i in range(A)
+                     if (not alive0[i]) and (not born[i]) and i % NS == s]
             draws = np.asarray(jax.random.uniform(
                 jax.random.fold_in(base, s), (floor_n, 2), jnp.float32)) * lims
+            fi = 0
             for e in range(floor_n - counts[s]):
                 if fi >= len(free2):
                     break

@@ -34,9 +34,11 @@ def test_invariants_over_rollout():
         assert np.isin(species[alive], np.arange(1, 5)).all()
         assert (health[~alive] == 0).all()
         assert (species[~alive] == 0).all()
-        # Positions clamped to the arena.
-        assert (pos[alive][:, 0] >= 0).all() and (pos[alive][:, 0] <= cfg.world_lim_x - 1).all()
-        assert (pos[alive][:, 1] >= 0).all() and (pos[alive][:, 1] <= cfg.world_lim_y - 1).all()
+        # Positions inside the arena. Movement clamps to lim-1, but fresh
+        # init/respawn positions are uniform in [0, lim) until the agent
+        # moves (sim.cpp:250-251, 827-828) — so the bound is lim, not lim-1.
+        assert (pos[alive][:, 0] >= 0).all() and (pos[alive][:, 0] < cfg.world_lim_x).all()
+        assert (pos[alive][:, 1] >= 0).all() and (pos[alive][:, 1] < cfg.world_lim_y).all()
         # Food bookkeeping: package counts in {0,1}; num_food == sum; cap respected.
         assert np.isin(food, [0, 1]).all()
         np.testing.assert_array_equal(nf, food.sum(axis=(1, 2)))
