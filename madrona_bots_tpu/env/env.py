@@ -179,3 +179,22 @@ def set_actions(state: WorldState, actions: jax.Array) -> WorldState:
     """Write the action buffer (the learner's H2D write, mgr.cpp:268-271 /
     training_loop.py:136). actions: [W, A, 6] int32, slot-aligned."""
     return state.replace(action=actions.astype(jnp.int32))
+
+
+def rollout(state: WorldState, key: jax.Array, num_steps: int,
+            policy_fn, cfg: EnvConfig, use_pallas: bool = False):
+    """Scan `num_steps` full ticks on device with actions from
+    `policy_fn(state, key) -> [W, A, 6] int32` — the zero-host-roundtrip
+    rollout shape (each per-tick dispatch costs a full tunnel round trip on
+    remote TPU backends; a scanned block costs one). Returns the final state.
+
+    Wrap in jax.jit (donating the state) at the call site, e.g.:
+        step_block = jax.jit(lambda s, k: rollout(s, k, 64, pi, cfg, True),
+                             donate_argnums=(0,))
+    """
+    def body(s, k):
+        s = set_actions(s, policy_fn(s, k))
+        return sensor_pass(step_systems(s, cfg), cfg, use_pallas), ()
+
+    state, _ = jax.lax.scan(body, state, jax.random.split(key, num_steps))
+    return state

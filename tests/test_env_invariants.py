@@ -97,3 +97,30 @@ def test_breeding_creates_children():
         s = step(set_actions(s, jnp.array(acts)), cfg)
     # With everyone trying to breed, population should not shrink and usually grows.
     assert int(np.asarray(s.alive).sum()) >= pop0
+
+
+def test_rollout_matches_stepwise():
+    """env.rollout (scanned block) == the same ticks dispatched one by one."""
+    from madrona_bots_tpu.config import NUM_ACTIONS
+    from madrona_bots_tpu.env.env import rollout
+
+    cfg = EnvConfig(num_worlds=2, init_agents=16, max_agents=32)
+
+    def pi(s, k):
+        W, A = s.alive.shape
+        a = jax.random.randint(k, (W, A), 0, NUM_ACTIONS)
+        return jax.nn.one_hot(a, NUM_ACTIONS, dtype=jnp.int32)
+
+    key = jax.random.key(3)
+    s_block = jax.jit(lambda s, k: rollout(s, k, 5, pi, cfg))(
+        init_state(jax.random.key(4), cfg), key)
+
+    s_loop = init_state(jax.random.key(4), cfg)
+    for k in jax.random.split(key, 5):
+        s_loop = step(set_actions(s_loop, pi(s_loop, k)), cfg)
+
+    for f in ["alive", "species", "health", "sensor_depth", "finder"]:
+        np.testing.assert_array_equal(np.asarray(getattr(s_block, f)),
+                                      np.asarray(getattr(s_loop, f)), err_msg=f)
+    np.testing.assert_allclose(np.asarray(s_block.pos),
+                               np.asarray(s_loop.pos), rtol=1e-6, atol=1e-5)
