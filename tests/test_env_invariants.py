@@ -124,3 +124,16 @@ def test_rollout_matches_stepwise():
                                       np.asarray(getattr(s_loop, f)), err_msg=f)
     np.testing.assert_allclose(np.asarray(s_block.pos),
                                np.asarray(s_loop.pos), rtol=1e-6, atol=1e-5)
+
+
+def test_species_class_slot_invariant():
+    """SPEC D2b: slot i only ever holds species (i % NS) + 1 (or 0/dead)."""
+    cfg = EnvConfig(num_worlds=4, init_agents=16, max_agents=32)
+    s = init_state(jax.random.key(5), cfg)
+    cls = (np.arange(cfg.max_agents) % cfg.num_species) + 1
+    rng = np.random.default_rng(5)
+    for _ in range(40):
+        s = step(set_actions(s, jnp.array(random_actions(rng, 4, 32))), cfg)
+        species = np.asarray(s.species)
+        alive = np.asarray(s.alive)
+        assert (species[alive] == np.broadcast_to(cls, species.shape)[alive]).all()
