@@ -129,12 +129,46 @@ def bench_train(num_worlds=8192, max_agents=128, iters=2, warmup=1,
     return num_worlds * iters * K / dt
 
 
+def bench_ppo(num_worlds=8192, max_agents=128, iters=2, warmup=1,
+              rollout_len=16, use_pallas=None):
+    from madrona_bots_tpu.config import EnvConfig
+    from madrona_bots_tpu.env.state import init_state
+    from madrona_bots_tpu.learn.a2c import init_train_states
+    from madrona_bots_tpu.learn.ppo import make_ppo_trainer
+    from madrona_bots_tpu.models import ActorCritic, SpeciesNetGenerator
+
+    if use_pallas is None:
+        use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    cfg = EnvConfig(num_worlds=num_worlds, init_agents=32,
+                    max_agents=max_agents)
+    gen = SpeciesNetGenerator(cfg.obs_dim, 6, 128, cfg.hidden_state_dim, seed=0)
+    models = [ActorCritic.from_generator(gen) for _ in range(cfg.num_species)]
+    it, opt = make_ppo_trainer(models, cfg, rollout_len=rollout_len,
+                               use_pallas=use_pallas)
+    tstates = init_train_states(models, jax.random.key(1), opt)
+    state = init_state(jax.random.key(0), cfg)
+    key = jax.random.key(2)
+    for i in range(warmup):
+        state, tstates, m = it(state, tstates, jax.random.fold_in(key, i))
+        float(jax.device_get(_checksum(state)))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, tstates, m = it(state, tstates,
+                               jax.random.fold_in(key, warmup + i))
+    float(jax.device_get(_checksum(state)))
+    dt = time.perf_counter() - t0
+    return num_worlds * iters * rollout_len / dt
+
+
 def main():
     mode = os.environ.get("BENCH_MODE", "env")
     num_worlds = int(os.environ.get("BENCH_WORLDS", "8192"))
     if mode == "train":
         value = bench_train(num_worlds=num_worlds)
         metric = f"train_env_steps_per_sec_{num_worlds}w"
+    elif mode == "ppo":
+        value = bench_ppo(num_worlds=num_worlds)
+        metric = f"ppo_env_steps_per_sec_{num_worlds}w"
     else:
         value = bench_env(num_worlds=num_worlds)
         metric = f"env_steps_per_sec_{num_worlds}w"

@@ -301,9 +301,13 @@ def health_sync(pos, heading, alive, species, health, action, finder, damage,
     slot_ids = jnp.broadcast_to(jnp.arange(A, dtype=i32), (W, A))
     BIG = i32(A)
     for p in range(cfg.max_food_packages):
-        pkg_cell = jnp.einsum("wac,wcd->wad", chunk_oh_f,
-                              food_cell[:, :, p].astype(f32)).astype(i32)
-        pkg_has = onehot_gather(food_count[:, :, p] > 0, chunk_oh) > 0
+        # One contraction fetches the package cell AND occupancy together.
+        pkg_vals = jnp.concatenate(
+            [food_cell[:, :, p].astype(f32),
+             (food_count[:, :, p] > 0).astype(f32)[..., None]], axis=-1)
+        pkg = jnp.einsum("wac,wcd->wad", chunk_oh_f, pkg_vals)      # [W, A, 3]
+        pkg_cell = pkg[..., :2].astype(i32)
+        pkg_has = pkg[..., 2] > 0
         contend = (alive & pkg_has & ~eaten
                    & jnp.all(cell == pkg_cell, axis=-1))
         key = jnp.where(contend, slot_ids, BIG)

@@ -197,15 +197,15 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
             val_all = fl(roll.value, s)
             mask_sp = fl(roll.alive, s) & (fl(roll.species, s) == s + 1)
 
-            def loss_fn(params, idx):
-                o = obs_all[idx]
-                m = mem_all[idx]
-                a = act_all[idx]
-                lp_old = logp_all[idx]
-                adv = adv_all[idx]
-                ret = ret_all[idx]
-                vold = val_all[idx]
-                w = mask_sp[idx].astype(f32)
+            def loss_fn(params, pick):
+                o = pick(obs_all)
+                m = pick(mem_all)
+                a = pick(act_all)
+                lp_old = pick(logp_all)
+                adv = pick(adv_all)
+                ret = pick(ret_all)
+                vold = pick(val_all)
+                w = pick(mask_sp).astype(f32)
                 denom = jnp.maximum(w.sum(), 1.0)
                 # normalize advantages over the species minibatch
                 mu = jnp.sum(adv * w) / denom
@@ -233,13 +233,19 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
 
             def epoch_body(carry, e):
                 ts, key = carry
-                key, kperm = jax.random.split(key)
-                perm = jax.random.permutation(kperm, B)
-
+                # Strided minibatch partition instead of a random permutation:
+                # TPU serializes million-row gathers, while minibatch c =
+                # rows congruent to c (mod num_minibatches) is a plain
+                # strided slice. Rows are laid out [T, W, Asub], so each
+                # stride-class mixes timesteps and worlds; epochs reuse the
+                # same partition (a documented trade for gather-free updates).
                 def mb_body(ts, i):
-                    idx = jax.lax.dynamic_slice_in_dim(perm, i * mb, mb)
+                    def pick(x):
+                        return jax.lax.dynamic_index_in_dim(
+                            x.reshape((mb, num_minibatches) + x.shape[1:]),
+                            i, axis=1, keepdims=False)
                     (loss, aux), grads = jax.value_and_grad(
-                        loss_fn, has_aux=True)(ts.params, idx)
+                        loss_fn, has_aux=True)(ts.params, pick)
                     updates, opt = optimizer.update(grads, ts.opt_state,
                                                     ts.params)
                     return SpeciesTrainState(

@@ -92,13 +92,13 @@ def _kernel(posx_ref, posy_ref, heading_ref, alive_ref, species_ref, offs_ref,
             # select instead of two [S, A] mask ops.
             q = jnp.where(ok, r2 - oc2, -_INF)                   # [1, A]
 
-            # Sensor fan: [S, A].
+            # Sensor fan: [S, A]. `closer` folds validity directly (a lane
+            # rejected by disc/near can never win the running min) — no
+            # select-to-INF materialization.
             t_c = cos_a[w] * ocx + sin_a[w] * ocy
             disc = t_c * t_c + q
             t_hit = t_c - jnp.sqrt(jnp.maximum(disc, 0.0))
-            valid = (disc >= 0) & (t_hit > near)
-            t_hit = jnp.where(valid, t_hit, _INF)
-            closer = t_hit < t_min[w]
+            closer = ((disc >= 0) & (t_hit > near)) & (t_hit < t_min[w])
             new_t.append(jnp.where(closer, t_hit, t_min[w]))
             new_sem.append(jnp.where(closer, t_species, sem_min[w]))
 
@@ -106,9 +106,7 @@ def _kernel(posx_ref, posy_ref, heading_ref, alive_ref, species_ref, offs_ref,
             ft_c = cos_h[w] * ocx + sin_h[w] * ocy
             fdisc = ft_c * ft_c + q
             ft = ft_c - jnp.sqrt(jnp.maximum(fdisc, 0.0))
-            fvalid = (fdisc >= 0) & (ft > near)
-            ft = jnp.where(fvalid, ft, _INF)
-            fcloser = ft < f_min[w]
+            fcloser = ((fdisc >= 0) & (ft > near)) & (ft < f_min[w])
             new_f.append(jnp.where(fcloser, ft, f_min[w]))
             new_fa.append(jnp.where(fcloser, slot, f_arg[w]))
         return tuple(new_t), tuple(new_sem), tuple(new_f), tuple(new_fa)
