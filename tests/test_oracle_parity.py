@@ -130,3 +130,40 @@ def test_trajectory_parity_directed(pattern):
             np.testing.assert_allclose(
                 np.asarray(getattr(state, f)), oracle.field(f),
                 rtol=1e-5, atol=1e-4, err_msg=f"{pattern} step {t} field {f}")
+
+
+@pytest.mark.parametrize("setting", [2, 3, 4, 5, 6, 7, 8])
+def test_reward_settings_parity(setting):
+    """All 8 reward settings (quirk Q6 made first-class) match the oracle."""
+    from madrona_bots_tpu.config import RewardSetting
+    cfg = EnvConfig(num_worlds=1, init_agents=16, max_agents=32,
+                    reward_setting=RewardSetting(setting))
+    key = jax.random.key(11)
+    state = init_state(key, cfg)
+    oracle = Oracle(key, cfg)
+    rng = np.random.default_rng(11)
+    for t in range(8):
+        acts = random_actions(rng, 1, 32)
+        state = step(set_actions(state, jnp.array(acts)), cfg)
+        oracle.step(acts)
+        np.testing.assert_allclose(
+            np.asarray(state.reward), oracle.field("reward"),
+            rtol=1e-5, atol=1e-4, err_msg=f"setting {setting} step {t}")
+
+
+def test_odd_shapes_parity():
+    """Non-default geometry/capacity still matches the oracle exactly."""
+    cfg = EnvConfig(num_worlds=3, init_agents=8, max_agents=16,
+                    num_chunks_x=5, num_chunks_y=3, total_allowed_food=11)
+    key = jax.random.key(13)
+    state = init_state(key, cfg)
+    oracle = Oracle(key, cfg)
+    rng = np.random.default_rng(13)
+    for t in range(12):
+        acts = random_actions(rng, 3, 16)
+        state = step(set_actions(state, jnp.array(acts)), cfg)
+        oracle.step(acts)
+        for f in ["alive", "species", "health", "finder", "food_count"]:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(state, f)), oracle.field(f),
+                err_msg=f"step {t} field {f}")
