@@ -96,8 +96,12 @@ def raycast(
         # implementations so they stay bit-exact against each other.
         q = jnp.where(ok, r2 - oc2, -_INF)                 # [W, A]
 
-        # Sensor rays.
-        t_c = jnp.einsum("wasx,wax->was", dirs, oc)        # [W, A, S]
+        # Sensor rays. Explicit mul+add (NOT an einsum/dot): keeps the
+        # arithmetic elementwise f32 on every backend — a dot would hit
+        # TPU's default bf16 matmul path and diverge from the Pallas kernel,
+        # which computes cos*ocx + sin*ocy on the VPU in f32.
+        t_c = (dirs[..., 0] * oc[:, :, None, 0]
+               + dirs[..., 1] * oc[:, :, None, 1])         # [W, A, S]
         disc = t_c * t_c + q[..., None]                    # [W, A, S]
         t_hit = t_c - jnp.sqrt(jnp.maximum(disc, 0.0))
         valid = (disc >= 0) & (t_hit > near)

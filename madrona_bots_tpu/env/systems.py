@@ -51,6 +51,12 @@ from madrona_bots_tpu.config import (
 
 i32 = jnp.int32
 f32 = jnp.float32
+# Exact dot path for the one-hot contractions: TPU's DEFAULT matmul precision
+# rounds f32 operands to single-pass bfloat16 on the MXU, which truncates
+# payloads (positions, slot ids > 256, reward floats) and silently breaks the
+# bit-exactness argument on the very hardware this module targets. HIGHEST
+# (bf16_6x / f32-exact) keeps every one-hot sum exact; CPU is unaffected.
+_EXACT = jax.lax.Precision.HIGHEST
 
 
 # ---------------------------------------------------------------------------
@@ -68,7 +74,8 @@ def onehot_gather(vals: jax.Array, oh: jax.Array) -> jax.Array:
     vals: [W, C] numeric; oh: [W, ..., C] bool one-hot of idx.
     Returns [W, ...] f32 — exact (<=1 nonzero term per sum); zero-row -> 0.
     """
-    return jnp.einsum("w...c,wc->w...", oh.astype(f32), vals.astype(f32))
+    return jnp.einsum("w...c,wc->w...", oh.astype(f32), vals.astype(f32),
+                      precision=_EXACT)
 
 
 # ---------------------------------------------------------------------------
@@ -95,14 +102,16 @@ def claim_slots(free_mask: jax.Array, active: jax.Array):
     # slot_of_rank[w, r] = index of the r-th free slot in world w (0 if the
     # rank is empty — only ever read at granted ranks, which always exist).
     rank_oh = onehot_mask(jnp.where(free_mask, free_rank, -1), A)    # [W, A, R]
-    slot_of_rank = jnp.einsum("war,a->wr", rank_oh.astype(f32), slot_ids_f)
+    slot_of_rank = jnp.einsum("war,a->wr", rank_oh.astype(f32), slot_ids_f,
+                              precision=_EXACT)
 
     want_rank = jnp.cumsum(active.astype(i32), axis=1) - 1           # [W, V]
     granted = active & (want_rank < num_free[:, None])
     want_oh = onehot_mask(jnp.where(granted, want_rank, -1), A)      # [W, V, R]
     slot_for_v = jnp.where(
         granted,
-        jnp.einsum("wvr,wr->wv", want_oh.astype(f32), slot_of_rank).astype(i32),
+        jnp.einsum("wvr,wr->wv", want_oh.astype(f32), slot_of_rank,
+                   precision=_EXACT).astype(i32),
         -1,
     )
 
@@ -120,10 +129,12 @@ def scatter_from_claims(dst: jax.Array, slot_for_v: jax.Array, values: jax.Array
     oh = onehot_mask(slot_for_v, A).astype(f32)                      # [W, V, A]
     hit = jnp.sum(oh, axis=1) > 0                                    # [W, A]
     if values.ndim == 3:                                             # [W, V, D]
-        contrib = jnp.einsum("wva,wvd->wad", oh, values.astype(f32))
+        contrib = jnp.einsum("wva,wvd->wad", oh, values.astype(f32),
+                             precision=_EXACT)
         hit = hit[..., None]
     else:                                                            # [W, V]
-        contrib = jnp.einsum("wva,wv->wa", oh, values.astype(f32))
+        contrib = jnp.einsum("wva,wv->wa", oh, values.astype(f32),
+                             precision=_EXACT)
     return jnp.where(hit, contrib.astype(dst.dtype), dst)
 
 
@@ -226,7 +237,8 @@ def action_system(pos, heading, alive, species, action, finder, cfg: EnvConfig) 
     valid_shot = act[..., ACTION_SHOOT] & alive & (finder >= 0) & target_alive
     damage = jnp.einsum(
         "wat,wa->wt", finder_oh.astype(f32),
-        jnp.where(valid_shot, f32(cfg.shoot_damage), 0.0)).astype(i32)
+        jnp.where(valid_shot, f32(cfg.shoot_damage), 0.0),
+        precision=_EXACT).astype(i32)
     same = target_species == species
     hit_friendly = valid_shot & same
     hit_enemy = valid_shot & ~same
@@ -255,10 +267,11 @@ def action_system(pos, heading, alive, species, action, finder, cfg: EnvConfig) 
     speed_q = (delta_len * 2.0).astype(i32)  # uint32 truncation in the reference
     cidx = jnp.where(alive, chunk_index(new_pos, cfg), -1)  # dead -> zero row
     chunk_oh = onehot_mask(cidx, cfg.num_chunks).astype(f32)  # [W, A, C]
-    chunk_agents = jnp.einsum("wac,wa->wc", chunk_oh,
-                              alive.astype(f32)).astype(i32)
+    chunk_agents = jnp.einsum("wac,wa->wc", chunk_oh, alive.astype(f32),
+                              precision=_EXACT).astype(i32)
     chunk_speed = jnp.einsum("wac,wa->wc", chunk_oh,
-                             jnp.where(alive, speed_q, 0).astype(f32)).astype(i32)
+                             jnp.where(alive, speed_q, 0).astype(f32),
+                             precision=_EXACT).astype(i32)
 
     return ActionOut(new_pos, new_heading, damage, hit_friendly, hit_enemy,
                      chunk_agents, chunk_speed)
@@ -305,7 +318,8 @@ def health_sync(pos, heading, alive, species, health, action, finder, damage,
         pkg_vals = jnp.concatenate(
             [food_cell[:, :, p].astype(f32),
              (food_count[:, :, p] > 0).astype(f32)[..., None]], axis=-1)
-        pkg = jnp.einsum("wac,wcd->wad", chunk_oh_f, pkg_vals)      # [W, A, 3]
+        pkg = jnp.einsum("wac,wcd->wad", chunk_oh_f, pkg_vals,
+                         precision=_EXACT)               # [W, A, 3]
         pkg_cell = pkg[..., :2].astype(i32)
         pkg_has = pkg[..., 2] > 0
         contend = (alive & pkg_has & ~eaten

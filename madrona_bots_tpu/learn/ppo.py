@@ -185,7 +185,7 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
         assert B % num_minibatches == 0
         mb = B // num_minibatches
 
-        def update_species(s, ts, key):
+        def update_species(s, ts):
             obs_all = _flat_obs(fl(roll.depth, s), fl(roll.health, s),
                                 fl(roll.pos, s), fl(roll.semantic, s),
                                 fl(roll.surrounding, s))
@@ -231,8 +231,7 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
                               jnp.sum(v_loss * w) / denom,
                               jnp.sum(ent * w) / denom)
 
-            def epoch_body(carry, e):
-                ts, key = carry
+            def epoch_body(ts, e):
                 # Strided minibatch partition instead of a random permutation:
                 # TPU serializes million-row gathers, while minibatch c =
                 # rows congruent to c (mod num_minibatches) is a plain
@@ -253,10 +252,10 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
 
                 ts, losses = jax.lax.scan(mb_body, ts,
                                           jnp.arange(num_minibatches))
-                return (ts, key), losses
+                return ts, losses
 
-            (ts, _), losses = jax.lax.scan(epoch_body, (ts, key),
-                                           jnp.arange(update_epochs))
+            ts, losses = jax.lax.scan(epoch_body, ts,
+                                      jnp.arange(update_epochs))
             loss, (pg, vl, ent) = losses
             return ts, {
                 "loss": loss.mean(), "pg_loss": pg.mean(),
@@ -268,8 +267,7 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
         new_ts = []
         metrics = {}
         for s in range(NS):
-            ts, m = update_species(s, train_states[s],
-                                   jax.random.fold_in(key, 1000 + s))
+            ts, m = update_species(s, train_states[s])
             new_ts.append(ts)
             for kk, v in m.items():
                 metrics[f"species_{s + 1}_{kk}"] = v

@@ -165,13 +165,17 @@ def raycast_pallas(pos, heading, alive, species, cfg: EnvConfig,
 
     offs = jnp.asarray(ray_angle_offsets(cfg)).reshape(1, S)
 
-    # Rank-compact the alive slots (ascending, one-hot contraction — no
-    # scatter): compact[w, r] = slot of the r-th alive agent, 0-padded.
+    # Rank-compact the alive slots (ascending, one-hot scatter over the rank
+    # axis — no dynamic-index scatter): compact[w, r] = slot of the r-th
+    # alive agent, 0-padded. Same idiom as env.systems.claim_slots'
+    # slot_of_rank, incl. the HIGHEST-precision dot path (TPU's default
+    # matmul precision would truncate slot ids > 256 to bfloat16).
+    from madrona_bots_tpu.env.systems import _EXACT, onehot_mask
     rank = jnp.cumsum(alive_i, axis=1) - 1                       # [W, A]
-    rank_oh = (jnp.where(alive, rank, -1)[..., None]
-               == jnp.arange(A, dtype=jnp.int32)).astype(jnp.float32)
-    compact = jnp.einsum("war,a->wr", rank_oh,
-                         jnp.arange(A, dtype=jnp.float32)).astype(jnp.int32)
+    rank_oh = onehot_mask(jnp.where(alive, rank, -1), A)         # [W, A, R]
+    compact = jnp.einsum("war,a->wr", rank_oh.astype(jnp.float32),
+                         jnp.arange(A, dtype=jnp.float32),
+                         precision=_EXACT).astype(jnp.int32)
     num_alive = jnp.sum(alive_i, axis=1, keepdims=True)          # [W, 1]
 
     in_spec = pl.BlockSpec((wb, A), lambda i: (i, 0), memory_space=pltpu.VMEM)
