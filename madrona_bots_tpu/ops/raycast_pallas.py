@@ -73,11 +73,12 @@ def _kernel(posx_ref, posy_ref, heading_ref, alive_ref, species_ref, offs_ref,
     for w in range(1, wb):
         n_max = jnp.maximum(n_max, nalive_s[w, 0])
 
-    def body(b, carry):
+    def visit(b, carry):
+        """Fold one (possibly out-of-range) target into the running mins."""
         t_min, sem_min, f_min, f_arg = carry
         new_t, new_sem, new_f, new_fa = [], [], [], []
         for w in range(wb):
-            in_range = b < nalive_s[w, 0]                           # scalar bool
+            in_range = b < nalive_s[w, 0]                        # scalar bool
             slot = compact_s[w, b]                               # scalar i32
             tx = posx_s[w, slot]                                 # scalars
             ty = posy_s[w, slot]
@@ -111,12 +112,19 @@ def _kernel(posx_ref, posy_ref, heading_ref, alive_ref, species_ref, offs_ref,
             new_fa.append(jnp.where(fcloser, slot, f_arg[w]))
         return tuple(new_t), tuple(new_sem), tuple(new_f), tuple(new_fa)
 
+    # Unroll 2 targets per trip: the loop carry is 4*wb VMEM tiles whose
+    # re-threading costs as much as the compute — visiting two (sequential,
+    # order-preserving; the second predicated by its own in_range check)
+    # targets per iteration halves that overhead.
+    def body(i, carry):
+        return visit(2 * i + 1, visit(2 * i, carry))
+
     t0 = tuple(jnp.full((S, A), _INF, jnp.float32) for _ in range(wb))
     s0 = tuple(jnp.zeros((S, A), jnp.int32) for _ in range(wb))
     f0 = tuple(jnp.full((1, A), _INF, jnp.float32) for _ in range(wb))
     a0 = tuple(jnp.full((1, A), -1, jnp.int32) for _ in range(wb))
     t_agent, sem_agent, f_t, f_arg = jax.lax.fori_loop(
-        0, n_max, body, (t0, s0, f0, a0))
+        0, (n_max + 1) // 2, body, (t0, s0, f0, a0))
 
     limx = jnp.float32(cfg.world_lim_x)
     limy = jnp.float32(cfg.world_lim_y)
