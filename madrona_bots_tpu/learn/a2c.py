@@ -187,6 +187,15 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
                 (onehot * mask[:, None].astype(jnp.int32)).reshape(
                     W, Asub, NUM_ACTIONS))
             hidden_cols.append((mem * mask[:, None]).reshape(W, Asub, H))
+            # Remaining reference wandb series (training_loop.py:105-120):
+            # avg health, per-world population, popular (most-sampled) action.
+            denom = jnp.maximum(m["count"], 1.0)
+            health_s = state.health.reshape(W, Asub, NS)[:, :, s].reshape(Nc)
+            m["avg_health"] = jnp.sum(health_s.astype(f32) * mask) / denom
+            m["count_per_world"] = m["count"] / W
+            hist = jnp.sum(jax.nn.one_hot(actions, NUM_ACTIONS, dtype=f32)
+                           * mask[:, None], axis=0)
+            m["popular_action"] = jnp.argmax(hist).astype(f32)
             for k, v in m.items():
                 metrics[f"species_{s + 1}_{k}"] = v
 
