@@ -92,7 +92,7 @@ def bench_train(num_worlds=8192, max_agents=128, iters=2, warmup=1,
 
     if use_pallas is None:
         use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
-    K = scan_len or int(os.environ.get("BENCH_SCAN", "8"))
+    K = scan_len or int(os.environ.get("BENCH_SCAN", "16"))
     # bf16 mixed precision (f32 master params/optimizer, bf16 activations) is
     # the TPU-idiomatic training configuration; BENCH_DTYPE=f32 opts out.
     compute_dtype = {"f32": None, "bf16": jnp.bfloat16}[
