@@ -167,3 +167,20 @@ def test_odd_shapes_parity():
             np.testing.assert_array_equal(
                 np.asarray(getattr(state, f)), oracle.field(f),
                 err_msg=f"step {t} field {f}")
+
+
+def test_two_species_parity():
+    """num_species != 4 works end to end (class quotas generalize)."""
+    cfg = EnvConfig(num_worlds=2, init_agents=12, max_agents=24, num_species=2)
+    key = jax.random.key(21)
+    state = init_state(key, cfg)
+    oracle = Oracle(key, cfg)
+    rng = np.random.default_rng(21)
+    for t in range(10):
+        acts = random_actions(rng, 2, 24)
+        state = step(set_actions(state, jnp.array(acts)), cfg)
+        oracle.step(acts)
+        for f in ["alive", "species", "health", "finder"]:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(state, f)), oracle.field(f),
+                err_msg=f"step {t} field {f}")
