@@ -71,6 +71,8 @@ class SimManager:
                                    init_agents=init_num_agents_per_world)
         else:
             assert env_config.num_worlds == num_worlds
+            assert env_config.init_agents == init_num_agents_per_world, (
+                env_config.init_agents, init_num_agents_per_world)
         self.cfg = env_config
         self.quirk_compat = quirk_compat
         if use_pallas is None:
@@ -83,6 +85,14 @@ class SimManager:
         self._cache: Dict[str, np.ndarray] = {}
         self._perm: Optional[np.ndarray] = None          # species-major order
         self._perm_world: Optional[np.ndarray] = None    # world-major order
+        # Persistent writable export buffers (capacity rows). Allocated on
+        # first export and kept alive for the run: a tensor fetched once
+        # stays valid across step() like the reference's device buffers —
+        # reads show current sim values (refreshed each step in the new
+        # export order), writes are flushed into the sim at the next
+        # step()/shift_observations().
+        self._action_buf: Optional[np.ndarray] = None
+        self._hidden_buf: Optional[np.ndarray] = None
         self._recompute_order()
 
     # ------------------------------------------------------------------
@@ -93,11 +103,13 @@ class SimManager:
         self._flush_writes()
         self.state = env_mod.step(self.state, self.cfg, self.use_pallas)
         self._recompute_order()
+        self._refresh_exports()
 
     def shift_observations(self):
         self._flush_writes()
         self.state = env_mod.shift_observations(self.state, self.cfg)
         self._cache.clear()
+        self._refresh_exports()
 
     # ------------------------------------------------------------------
     # Export order
@@ -196,9 +208,12 @@ class SimManager:
     def action_tensor(self, is_prev: bool = False) -> Tensor:
         if is_prev:
             return self._gather("actionP", np.asarray(self.state.prev_action))
-        t = self._gather("action", np.asarray(self.state.action))
-        self._action_staged = True
-        return t
+        if self._action_buf is None:
+            W, A = self.cfg.num_worlds, self.cfg.max_agents
+            self._action_buf = np.zeros((W * A, NUM_ACTIONS), np.int32)
+            self._action_buf[: self.total_num_agents] = np.asarray(
+                self.state.action).reshape(-1, NUM_ACTIONS)[self._perm]
+        return Tensor(self._action_buf[: self.total_num_agents])
 
     def stats_tensor(self, is_prev: bool = False) -> Tensor:
         s = self.state
@@ -208,9 +223,13 @@ class SimManager:
     def hidden_state_tensor(self, is_prev: bool = False) -> Tensor:
         if is_prev:
             return self._gather("hiddenP", np.asarray(self.state.prev_hidden))
-        t = self._gather("hidden", np.asarray(self.state.hidden))
-        self._hidden_staged = True
-        return t
+        if self._hidden_buf is None:
+            W, A = self.cfg.num_worlds, self.cfg.max_agents
+            H = self.cfg.hidden_state_dim
+            self._hidden_buf = np.zeros((W * A, H), np.float32)
+            self._hidden_buf[: self.total_num_agents] = np.asarray(
+                self.state.hidden).reshape(-1, H)[self._perm]
+        return Tensor(self._hidden_buf[: self.total_num_agents])
 
     def done_tensor(self) -> Tensor:
         """Always zeros: worlds never reset (quirk Q7, sim.cpp:302-305)."""
@@ -236,16 +255,29 @@ class SimManager:
     # ------------------------------------------------------------------
 
     def _flush_writes(self):
-        """Scatter staged action/hidden rows back into the padded state."""
+        """Scatter the persistent export buffers back into the padded state
+        (the reference's exported-buffer write pattern: anything written into
+        action/hidden tensors since the last step reaches the sim here)."""
         W, A = self.cfg.num_worlds, self.cfg.max_agents
-        if getattr(self, "_action_staged", False) and "action" in self._cache:
+        n = self.total_num_agents
+        if self._action_buf is not None:
             flat = np.zeros((W * A, NUM_ACTIONS), np.int32)
-            flat[self._perm] = self._cache["action"].astype(np.int32)
-            self.state = self.state.replace(action=jnp.asarray(flat.reshape(W, A, NUM_ACTIONS)))
-            self._action_staged = False
-        if getattr(self, "_hidden_staged", False) and "hidden" in self._cache:
+            flat[self._perm] = self._action_buf[:n]
+            self.state = self.state.replace(
+                action=jnp.asarray(flat.reshape(W, A, NUM_ACTIONS)))
+        if self._hidden_buf is not None:
             flat = np.zeros((W * A, self.cfg.hidden_state_dim), np.float32)
-            flat[self._perm] = self._cache["hidden"].astype(np.float32)
+            flat[self._perm] = self._hidden_buf[:n]
             self.state = self.state.replace(
                 hidden=jnp.asarray(flat.reshape(W, A, self.cfg.hidden_state_dim)))
-            self._hidden_staged = False
+
+    def _refresh_exports(self):
+        """Re-fill the persistent export buffers from the new state in the
+        new export order, so tensors fetched once stay live across steps."""
+        n = self.total_num_agents
+        if self._action_buf is not None:
+            self._action_buf[:n] = np.asarray(
+                self.state.action).reshape(-1, NUM_ACTIONS)[self._perm]
+        if self._hidden_buf is not None:
+            self._hidden_buf[:n] = np.asarray(self.state.hidden).reshape(
+                -1, self.cfg.hidden_state_dim)[self._perm]

@@ -84,7 +84,6 @@ def step_systems(state: WorldState, cfg: EnvConfig) -> WorldState:
     # Canonicalize dead slots so trajectories are directly comparable
     # (the reference destroys rows; we zero them).
     dead = ~alive
-    zf2 = jnp.zeros_like(state.pos)
     return state.replace(
         pos=jnp.where(dead[..., None], 0.0, sp_out.pos),
         heading=jnp.where(dead, 0.0, sp_out.heading),

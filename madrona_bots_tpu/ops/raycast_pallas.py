@@ -36,7 +36,7 @@ from madrona_bots_tpu.env.raycast import ray_angle_offsets
 _INF = 3.0e38  # python float: folds into kernel ops without const capture
 
 
-def _kernel(posx_ref, posy_ref, heading_ref, alive_ref, species_ref, offs_ref,
+def _kernel(posx_ref, posy_ref, heading_ref, alive_ref, offs_ref,
             posx_s, posy_s, species_s, compact_s, nalive_s,
             depth_ref, semantic_ref, finder_ref,
             *, cfg: EnvConfig, wb: int):
@@ -76,10 +76,14 @@ def _kernel(posx_ref, posy_ref, heading_ref, alive_ref, species_ref, offs_ref,
     def visit(b, carry):
         """Fold one (possibly out-of-range) target into the running mins."""
         t_min, sem_min, f_min, f_arg = carry
+        # The unroll-2 driver can pass b == A when n_max is odd and every
+        # slot is alive; clamp the SMEM reads (in_range keeps b's true value
+        # so the clamped lane contributes nothing).
+        b_safe = jnp.minimum(b, A - 1)
         new_t, new_sem, new_f, new_fa = [], [], [], []
         for w in range(wb):
             in_range = b < nalive_s[w, 0]                        # scalar bool
-            slot = compact_s[w, b]                               # scalar i32
+            slot = compact_s[w, b_safe]                          # scalar i32
             tx = posx_s[w, slot]                                 # scalars
             ty = posy_s[w, slot]
             t_species = species_s[w, slot]
@@ -164,8 +168,11 @@ def raycast_pallas(pos, heading, alive, species, cfg: EnvConfig,
     """Drop-in replacement for env.raycast.raycast (same signature/outputs)."""
     W, A = heading.shape
     S = cfg.sensor_size
+    # Largest world-block size <= worlds_per_block that divides W (any W
+    # works; W=12 gets wb=6 rather than an assert).
     wb = min(worlds_per_block, W)
-    assert W % wb == 0, (W, wb)
+    while W % wb != 0:
+        wb -= 1
 
     posx = pos[..., 0]
     posy = pos[..., 1]
@@ -196,7 +203,7 @@ def raycast_pallas(pos, heading, alive, species, cfg: EnvConfig,
     depth_t, semantic_t, finder = pl.pallas_call(
         partial(_kernel, cfg=cfg, wb=wb),
         grid=(W // wb,),
-        in_specs=[in_spec] * 5 + [offs_spec] + [smem_spec] * 4 + [smem1_spec],
+        in_specs=[in_spec] * 4 + [offs_spec] + [smem_spec] * 4 + [smem1_spec],
         out_specs=(out3, out3, out2),
         out_shape=(
             jax.ShapeDtypeStruct((W, S, A), jnp.uint8),
@@ -204,7 +211,7 @@ def raycast_pallas(pos, heading, alive, species, cfg: EnvConfig,
             jax.ShapeDtypeStruct((W, A), jnp.int32),
         ),
         interpret=interpret,
-    )(posx, posy, heading, alive_i, species, offs,
+    )(posx, posy, heading, alive_i, offs,
       posx, posy, species, compact, num_alive)
 
     # Kernel layout is [W, S, A]; public layout is [W, A, S].

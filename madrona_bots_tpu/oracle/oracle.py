@@ -63,6 +63,17 @@ class OracleWorld:
         self.species_counts = np.zeros(cfg.num_species, np.int32)
         self.species_rewards = np.zeros(cfg.num_species, np.float32)
         self.t = 0
+        # Action/hidden buffers + Prev* twins (same init as state.init_state;
+        # prev twins move on shift_observations, get zeroed for dead/new
+        # slots inside step — SPEC §4.6 / env.step_systems).
+        H = cfg.hidden_state_dim
+        self.action = np.zeros((A, 6), np.int32)
+        self.hidden = np.zeros((A, H), np.float32)
+        self.prev_action = np.zeros((A, 6), np.int32)
+        self.prev_hidden = np.zeros((A, H), np.float32)
+        self.prev_surrounding = np.zeros((A, 2), np.float32)
+        self.prev_reward = np.zeros(A, np.float32)
+        self.prev_stats = np.zeros((A, 4), np.int32)
 
         # initWorld (sim.cpp:233-275): same batched draw as state.init_state.
         k = jax.random.fold_in(world_key, SALT_INIT)
@@ -73,13 +84,21 @@ class OracleWorld:
             self.species[i] = (i % cfg.num_species) + 1
             self.pos[i] = (u[i] * lims).astype(np.float32)
             self.health[i] = cfg.init_health
+        self.prev_species = self.species.copy()
+        self.prev_pos = self.pos.copy()
+        self.prev_health = self.health.copy()
 
     # -- helpers --------------------------------------------------------
 
     def chunk_index(self, p) -> int:
+        """float32 arithmetic like env.systems.chunk_index — python-float
+        division would run in float64 and can floor differently for
+        non-power-of-two cell_dim."""
         cfg = self.cfg
-        cx = math.floor(p[0] / cfg.cell_dim / cfg.chunk_width)
-        cy = math.floor(p[1] / cfg.cell_dim / cfg.chunk_width)
+        cx = math.floor(np.float32(np.float32(p[0]) / np.float32(cfg.cell_dim))
+                        / np.float32(cfg.chunk_width))
+        cy = math.floor(np.float32(np.float32(p[1]) / np.float32(cfg.cell_dim))
+                        / np.float32(cfg.chunk_width))
         cx = min(max(cx, 0), cfg.num_chunks_x - 1)
         cy = min(max(cy, 0), cfg.num_chunks_y - 1)
         return int(cx + cy * cfg.num_chunks_x)
@@ -307,6 +326,23 @@ class OracleWorld:
                 self.prev_sensor_depth[a] = 0
                 self.prev_sensor_semantic[a] = -1
 
+        # --- action/hidden buffers: learner writes persist, dead/new slots
+        # are zeroed (env.step_systems canonicalization) ---
+        self.action = actions.astype(np.int32).copy()
+        for a in range(A):
+            if new_mask[a] or not alive3[a]:
+                self.action[a] = 0
+                self.hidden[a] = 0.0
+                # Prev twins of fresh/dead slots are zeroed (SPEC §4.6).
+                self.prev_species[a] = 0
+                self.prev_pos[a] = 0.0
+                self.prev_health[a] = 0
+                self.prev_surrounding[a] = 0.0
+                self.prev_reward[a] = 0.0
+                self.prev_action[a] = 0
+                self.prev_stats[a] = 0
+                self.prev_hidden[a] = 0.0
+
         # --- canonicalize dead slots ---
         for a in range(A):
             if not alive3[a]:
@@ -415,13 +451,17 @@ class Oracle:
             world.step(actions[w])
 
     def shift_observations(self):
+        """cur -> prev for the 7 obs components + hidden (ShiftObservations
+        graph, sim.cpp:1190-1220; matches env.shift_observations_impl)."""
         for w in self.worlds:
             w.prev_species = w.species.copy()
             w.prev_pos = w.pos.copy()
             w.prev_health = w.health.copy()
             w.prev_surrounding = w.surrounding.copy()
             w.prev_reward = w.reward.copy()
+            w.prev_action = w.action.copy()
             w.prev_stats = w.stats.copy()
+            w.prev_hidden = w.hidden.copy()
 
     def field(self, name):
         return np.stack([getattr(w, name) for w in self.worlds])

@@ -101,3 +101,42 @@ def test_quirk_compat_depth_is_semantic():
     d = mgr.depth_tensor(False).to_numpy()
     s = mgr.semantic_tensor(False).to_numpy()
     np.testing.assert_array_equal(d, s.astype(np.uint8))
+
+
+def test_held_action_buffer_stays_live():
+    """A tensor fetched ONCE stays valid across step() — writes made into it
+    after a step still reach the sim (the reference's persistent zero-copy
+    device buffers; regression for the staged-write drop bug)."""
+    import numpy as np
+    from madrona_bots_tpu.api import SimManager
+
+    mgr = SimManager(0, 2, 3, 8, use_pallas=False)
+    buf = mgr.action_tensor(False).to_numpy()   # held across steps
+    mgr.step()
+    buf[:] = 0
+    buf[:, 2] = 1                                # everyone rotates left
+    h0 = np.asarray(mgr.state.heading).copy()
+    mgr.step()
+    h1 = np.asarray(mgr.state.heading)
+    alive = np.asarray(mgr.state.alive)
+    rotated = np.abs(h1 - h0) > 1e-6
+    assert rotated[alive].any(), "held-buffer writes were dropped"
+
+
+def test_odd_worlds_pallas_block():
+    """raycast_pallas accepts world counts not divisible by 8 (wb falls back
+    to a divisor instead of asserting)."""
+    import jax, jax.numpy as jnp
+    import numpy as np
+    from madrona_bots_tpu.config import EnvConfig
+    from madrona_bots_tpu.env.raycast import raycast
+    from madrona_bots_tpu.env.state import init_state
+    from madrona_bots_tpu.ops.raycast_pallas import raycast_pallas
+
+    cfg = EnvConfig(num_worlds=12, init_agents=16, max_agents=32)
+    s = init_state(jax.random.key(0), cfg)
+    d1, m1, f1 = raycast_pallas(s.pos, s.heading, s.alive, s.species, cfg,
+                                interpret=True)
+    d2, m2, f2 = raycast(s.pos, s.heading, s.alive, s.species, cfg)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))

@@ -18,8 +18,10 @@ from madrona_bots_tpu.oracle.oracle import Oracle
 
 INT_FIELDS = ["alive", "species", "health", "stats", "food_count", "food_cell",
               "species_counts", "finder", "sensor_depth", "sensor_semantic",
-              "prev_sensor_depth", "prev_sensor_semantic"]
-FLOAT_FIELDS = ["pos", "heading", "surrounding", "reward", "species_rewards"]
+              "prev_sensor_depth", "prev_sensor_semantic", "action",
+              "prev_species", "prev_health", "prev_action", "prev_stats"]
+FLOAT_FIELDS = ["pos", "heading", "surrounding", "reward", "species_rewards",
+                "prev_pos", "prev_surrounding", "prev_reward", "prev_hidden"]
 
 
 def random_actions(rng, W, A):
@@ -36,11 +38,16 @@ def test_trajectory_parity(seed):
     state = init_state(key, cfg)
     oracle = Oracle(key, cfg)
 
+    from madrona_bots_tpu.env.env import shift_observations
+
     rng = np.random.default_rng(seed)
     for t in range(30):
         acts = random_actions(rng, cfg.num_worlds, cfg.max_agents)
         state = step(set_actions(state, jnp.array(acts)), cfg)
         oracle.step(acts)
+        if t % 3 == 0:  # exercise the ShiftObservations graph parity too
+            state = shift_observations(state, cfg)
+            oracle.shift_observations()
 
         for f in INT_FIELDS:
             env_v = np.asarray(getattr(state, f))
