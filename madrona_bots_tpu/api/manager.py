@@ -116,17 +116,16 @@ class SimManager:
     # ------------------------------------------------------------------
 
     def _recompute_order(self):
-        alive = np.asarray(self.state.alive).reshape(-1)
-        species = np.asarray(self.state.species).reshape(-1)
-        flat = np.arange(alive.size)
-        # species-major across all worlds (the reference's global sort);
-        # within species: (world, slot) ascending == flat index ascending.
-        key = np.where(alive, species.astype(np.int64) * alive.size + flat,
-                       np.iinfo(np.int64).max)
-        order = np.argsort(key, kind="stable")
-        n = int(alive.sum())
-        self._perm = order[:n]
-        self._perm_world = flat[alive]  # world-major: flat order is (world, slot)
+        # Species-major across all worlds (the reference's global sort);
+        # within species: (world, slot) ascending. Runs through the native
+        # C++ data plane (native/mbots_host.cpp) when built, with a numpy
+        # fallback inside utils.native.
+        from madrona_bots_tpu.utils import native
+        alive2 = np.asarray(self.state.alive)
+        species2 = np.asarray(self.state.species)
+        self._perm, self._species_starts = native.compaction(
+            alive2, species2, self.cfg.num_species)
+        self._perm_world = np.flatnonzero(alive2.reshape(-1))
         self._cache.clear()
 
     @property
@@ -135,9 +134,11 @@ class SimManager:
         return int(self._perm.shape[0])
 
     def agent_offset_for_world(self, world_idx: int) -> int:
-        """World-major row offset (Manager::agentOffsetForWorld, mgr.cpp:274)."""
-        A = self.cfg.max_agents
-        return int(np.searchsorted(self._perm_world // A, world_idx))
+        """World-major row offset (Manager::agentOffsetForWorld, mgr.cpp:274;
+        the SimBridge agentWorldOffsets readback, mgr.cpp:57-62)."""
+        from madrona_bots_tpu.utils import native
+        offsets, _ = native.world_offsets(np.asarray(self.state.alive))
+        return int(offsets[world_idx])
 
     def species_offsets(self) -> np.ndarray:
         """TRUE per-species start offsets into the exported rows, [NS+1].
@@ -147,8 +148,7 @@ class SimManager:
         this tick (they are in the rows but not the counts — SPEC §6). This
         helper gives exact boundaries; prefer it in new code.
         """
-        species = np.asarray(self.state.species).reshape(-1)[self._perm]
-        return np.searchsorted(species, np.arange(1, self.cfg.num_species + 2))
+        return self._species_starts
 
     # ------------------------------------------------------------------
     # Tensor getters (mgr.cpp:199-422)
@@ -238,8 +238,9 @@ class SimManager:
     def sensor_index_tensor(self) -> Tensor:
         """[N_world_major, 1] int32: world-major agent index -> exported row
         (the SensorOutputIndex indirection, sim.cpp:736-789)."""
-        inv = np.full(self.cfg.num_worlds * self.cfg.max_agents, -1, np.int64)
-        inv[self._perm] = np.arange(self._perm.size)
+        from madrona_bots_tpu.utils import native
+        inv = native.inverse_perm(self._perm,
+                                  self.cfg.num_worlds * self.cfg.max_agents)
         return Tensor(inv[self._perm_world][:, None].astype(np.int32))
 
     def set_action(self, agent_idx: int, forward: int, backward: int,
