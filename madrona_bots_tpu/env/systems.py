@@ -314,16 +314,14 @@ def health_sync(pos, heading, alive, species, health, action, finder, damage,
     slot_ids = jnp.broadcast_to(jnp.arange(A, dtype=i32), (W, A))
     BIG = i32(A)
     for p in range(cfg.max_food_packages):
-        # One contraction fetches the package cell AND occupancy together.
-        pkg_vals = jnp.concatenate(
-            [food_cell[:, :, p].astype(f32),
-             (food_count[:, :, p] > 0).astype(f32)[..., None]], axis=-1)
-        pkg = jnp.einsum("wac,wcd->wad", chunk_oh_f, pkg_vals,
-                         precision=_EXACT)               # [W, A, 3]
-        pkg_cell = pkg[..., :2].astype(i32)
-        pkg_has = pkg[..., 2] > 0
+        # Three separate matvec-shaped gathers (NOT one [.., 3] contraction:
+        # an N=3 dot pads to a full MXU matmul, while N=1 contractions get
+        # strength-reduced to fused VPU multiply-reduce).
+        pkg_x = onehot_gather(food_cell[:, :, p, 0], chunk_oh).astype(i32)
+        pkg_y = onehot_gather(food_cell[:, :, p, 1], chunk_oh).astype(i32)
+        pkg_has = onehot_gather(food_count[:, :, p] > 0, chunk_oh) > 0
         contend = (alive & pkg_has & ~eaten
-                   & jnp.all(cell == pkg_cell, axis=-1))
+                   & (cell[..., 0] == pkg_x) & (cell[..., 1] == pkg_y))
         key = jnp.where(contend, slot_ids, BIG)
         winner_per_chunk = jnp.min(
             jnp.where(chunk_oh & contend[..., None], key[..., None], BIG),
