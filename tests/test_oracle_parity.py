@@ -191,3 +191,31 @@ def test_two_species_parity():
             np.testing.assert_array_equal(
                 np.asarray(getattr(state, f)), oracle.field(f),
                 err_msg=f"step {t} field {f}")
+
+
+def test_golden_trajectory():
+    """Frozen 20-step checksum trace (seed 0): detects accidental semantic
+    drift that a co-changed env+oracle pair would hide. Regenerate the file
+    ONLY for a deliberate, documented spec change."""
+    import json, os
+    golden = json.load(open(os.path.join(os.path.dirname(__file__),
+                                         "golden_trajectory.json")))
+    cfg = EnvConfig(num_worlds=2, init_agents=32, max_agents=64)
+    state = init_state(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    for row in golden:
+        acts = random_actions(rng, 2, 64)
+        state = step(set_actions(state, jnp.array(acts)), cfg)
+        got = {
+            "alive": int(np.asarray(state.alive).sum()),
+            "health": int(np.asarray(state.health).sum()),
+            "pos": round(float(np.asarray(state.pos).sum()), 3),
+            "depth": int(np.asarray(state.sensor_depth).astype(np.uint32).sum()),
+            "finder": int((np.asarray(state.finder) >= 0).sum()),
+            "food": int(np.asarray(state.num_food).sum()),
+        }
+        for k, v in got.items():
+            if k == "pos":
+                assert abs(v - row[k]) < 0.05, (row["t"], k, v, row[k])
+            else:
+                assert v == row[k], (row["t"], k, v, row[k])
