@@ -99,3 +99,20 @@ def test_pallas_matches_reference(seed):
     # allow ulp-level discrepancies at quantization boundaries only
     assert sem_eq.mean() > 0.999, sem_eq.mean()
     assert dep_close.all()
+
+
+def test_pallas_odd_capacity():
+    """Odd max_agents exercises the unroll-2 clamp (visit(b == A) at full
+    population) — regression for the SMEM OOB read."""
+    import numpy as np
+    from madrona_bots_tpu.env.state import init_state
+    from madrona_bots_tpu.ops.raycast_pallas import raycast_pallas
+    cfg = EnvConfig(num_worlds=4, init_agents=33, max_agents=33, num_species=3)
+    s = init_state(jax.random.key(1), cfg)
+    assert bool(s.alive.all())  # full population -> odd n_max == A
+    d1, m1, f1 = raycast_pallas(s.pos, s.heading, s.alive, s.species, cfg,
+                                interpret=True)
+    d2, m2, f2 = raycast(s.pos, s.heading, s.alive, s.species, cfg)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
