@@ -391,9 +391,13 @@ def health_sync(pos, heading, alive, species, health, action, finder, damage,
 def surrounding_observation(pos, alive, chunk_agents, chunk_speed, cfg: EnvConfig):
     """Bilinear interpolation of chunk tallies at the agent position.
 
-    The 4 corner-chunk lookups are one-hot contractions (out-of-range corner
-    -> all-zero row -> 0 contribution), keeping the arithmetic identical to
-    the gather formulation."""
+    The 4 corner contributions collapse into ONE per-agent weight row over
+    the chunks (coefficients summed where corners coincide — the integral-
+    coordinate double-count of the reference, sim.cpp:626-634, falls out of
+    the addition), so the whole system is 4 masked weight accumulations plus
+    two [W, A, C] x [W, C] contractions instead of 8 separate lookups.
+    Reassociates the f32 bilinear sum (within test tolerance; surrounding
+    feeds only observations, never dynamics)."""
     cw = jnp.float32(cfg.chunk_width)
     cell = pos / jnp.float32(cfg.cell_dim) - cw * 0.5
     ch = cell / cw                                                  # [W, A, 2]
@@ -401,28 +405,27 @@ def surrounding_observation(pos, alive, chunk_agents, chunk_speed, cfg: EnvConfi
     xi = ch[..., 0] - ch0[..., 0]
     yi = ch[..., 1] - ch0[..., 1]
 
-    def tally_at(cxf, cyf):
+    fx, fy = ch0[..., 0], ch0[..., 1]
+    cx_, cy_ = jnp.ceil(ch[..., 0]), jnp.ceil(ch[..., 1])
+
+    weights = None
+    for cxf, cyf, coeff in (
+        (fx, fy, (1.0 - xi) * (1.0 - yi)),
+        (cx_, fy, xi * (1.0 - yi)),
+        (fx, cy_, (1.0 - xi) * yi),
+        (cx_, cy_, xi * yi),
+    ):
         cx = cxf.astype(i32)
         cy = cyf.astype(i32)
         ok = (cx >= 0) & (cy >= 0) & (cx < cfg.num_chunks_x) & (cy < cfg.num_chunks_y)
         lin = jnp.where(ok, cx + cy * cfg.num_chunks_x, -1)          # -1 -> zero row
-        oh = onehot_mask(lin, cfg.num_chunks)                        # [W, A, C]
-        return onehot_gather(chunk_agents, oh), onehot_gather(chunk_speed, oh)
+        contrib = onehot_mask(lin, cfg.num_chunks).astype(f32) * coeff[..., None]
+        weights = contrib if weights is None else weights + contrib  # [W, A, C]
 
-    fx, fy = ch0[..., 0], ch0[..., 1]
-    cx_, cy_ = jnp.ceil(ch[..., 0]), jnp.ceil(ch[..., 1])
-    na00, ts00 = tally_at(fx, fy)
-    na10, ts10 = tally_at(cx_, fy)
-    na01, ts01 = tally_at(fx, cy_)
-    na11, ts11 = tally_at(cx_, cy_)
-
-    na_x0 = xi * na10 + (1.0 - xi) * na00
-    na_x1 = xi * na11 + (1.0 - xi) * na01
-    ts_x0 = xi * ts10 + (1.0 - xi) * ts00
-    ts_x1 = xi * ts11 + (1.0 - xi) * ts01
-    presence = yi * na_x1 + (1.0 - yi) * na_x0
-    movement = yi * ts_x1 + (1.0 - yi) * ts_x0
-
+    presence = jnp.einsum("wac,wc->wa", weights, chunk_agents.astype(f32),
+                          precision=_EXACT)
+    movement = jnp.einsum("wac,wc->wa", weights, chunk_speed.astype(f32),
+                          precision=_EXACT)
     out = jnp.stack([presence, movement], axis=-1)
     return jnp.where(alive[..., None], out, 0.0)
 
