@@ -54,11 +54,17 @@ def init_train_states(models: Sequence[ActorCritic], key: jax.Array,
 def _species_update(model: ActorCritic, optimizer, ts: SpeciesTrainState,
                     obs_cur, obs_prev, mem_cur, mem_prev, prev_actions,
                     rewards, mask, key, gamma: float, proper_log_probs: bool,
-                    compute_dtype=None):
+                    compute_dtype=None, loss_mask=None):
     """One species' gradient step. All inputs flattened [N=W*A, ...] with a
-    [N] f32 mask selecting this species' alive agents. With compute_dtype
-    (e.g. bf16) forwards run in reduced precision against f32 master params
-    (mixed-precision; grads/optimizer stay f32)."""
+    [N] f32 mask selecting this species' alive agents; `loss_mask` (default
+    mask) additionally excludes agents with no valid previous transition —
+    slots born/respawned THIS tick have zeroed prev twins and would otherwise
+    inject fictitious (zero-obs, action-0) transitions into the gradient
+    (the reference trains on uninitialized prev rows there; deviation). With
+    compute_dtype (e.g. bf16) forwards run in reduced precision against f32
+    master params (mixed-precision; grads/optimizer stay f32)."""
+    if loss_mask is None:
+        loss_mask = mask
 
     def _maybe_cast(tree):
         if compute_dtype is None:
@@ -91,7 +97,7 @@ def _species_update(model: ActorCritic, optimizer, ts: SpeciesTrainState,
                                       dtype=logp_all.dtype), axis=1)
         actor_loss, critic_loss = compute_loss(
             logp, rewards, v_prev, jax.lax.stop_gradient(v_new),
-            gamma=gamma, mask=mask)
+            gamma=gamma, mask=loss_mask)
         return actor_loss + critic_loss, (actor_loss, critic_loss)
 
     (total, (actor_loss, critic_loss)), grads = jax.value_and_grad(
@@ -171,6 +177,9 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
         for s in range(num_species):
             mask = (alive3[:, :, s]
                     & (species3[:, :, s] == s + 1)).astype(f32).reshape(Nc)
+            prev_sp3 = state.prev_species.reshape(W, Asub, NS)
+            loss_mask = mask * (prev_sp3[:, :, s] == s + 1).astype(
+                f32).reshape(Nc)
             ts, actions, mem, m = _species_update(
                 models[s], optimizer, train_states[s],
                 obs_cur4[:, :, s].reshape(Nc, D),
@@ -180,7 +189,7 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
                 prev_act3[:, :, s].reshape(Nc),
                 rewards3[:, :, s].reshape(Nc),
                 mask, jax.random.fold_in(key, s), gamma, proper_log_probs,
-                compute_dtype)
+                compute_dtype, loss_mask=loss_mask)
             new_tstates.append(ts)
             onehot = jax.nn.one_hot(actions, NUM_ACTIONS, dtype=jnp.int32)
             action_cols.append(

@@ -40,10 +40,10 @@ class CheckpointManager:
         os.makedirs(full_path, exist_ok=True)
         if metric_name == "latest":
             filename = f"latest_model_epoch_{epoch}.ckpt.npz"
-            self._delete_old_files(full_path, "latest_model_epoch_*.ckpt.npz")
+            stale_pattern = "latest_model_epoch_*.ckpt.npz"
         else:
             filename = f"best_{metric_name}_epoch_{epoch}.ckpt.npz"
-            self._delete_old_files(full_path, f"best_{metric_name}_epoch_*.ckpt.npz")
+            stale_pattern = f"best_{metric_name}_epoch_*.ckpt.npz"
         save_path = os.path.join(full_path, filename)
 
         p_leaves, _ = _flatten_with_paths(params)
@@ -53,7 +53,10 @@ class CheckpointManager:
         arrays["model_config"] = np.frombuffer(
             json.dumps(model.get_config()).encode(), dtype=np.uint8)
         arrays["epoch"] = np.int64(epoch)
+        # Write the new file FIRST, then delete stale ones (delete-first
+        # would leave zero checkpoints if the save crashes mid-write).
         np.savez(save_path, **arrays)
+        self._delete_old_files(full_path, stale_pattern, keep=filename)
         if verbose:
             print(f"Saved model to {save_path}")
 
@@ -87,9 +90,10 @@ class CheckpointManager:
             o_def, [jax.numpy.asarray(data[f"o_{i}"]) for i in range(len(o_leaves))])
         return model, params, opt_state, loaded_epoch
 
-    def _delete_old_files(self, directory: str, pattern: str):
+    def _delete_old_files(self, directory: str, pattern: str,
+                          keep: str = ""):
         for f in os.listdir(directory):
-            if fnmatch.fnmatch(f, pattern):
+            if f != keep and fnmatch.fnmatch(f, pattern):
                 os.remove(os.path.join(directory, f))
 
 

@@ -49,7 +49,7 @@ def main(argv=None):
 
     fwd = [jax.jit(m.forward) for m in models]
 
-    def update(s, pr, opt_state, obs, acts, rewards, values_new):
+    def update(s, pr, opt_state, obs, acts, rewards):
         def loss_fn(pp):
             logits, v = models[s].forward(pp, obs)
             lsm = jax.nn.log_softmax(logits, -1)
@@ -61,8 +61,8 @@ def main(argv=None):
         updates, opt_state = opt.update(grads, opt_state, pr)
         return optax.apply_updates(pr, updates), opt_state
 
-    updates_jit = [jax.jit(lambda pr, o, ob, a, r, v, s=s:
-                           update(s, pr, o, ob, a, r, v))
+    updates_jit = [jax.jit(lambda pr, o, ob, a, r, s=s:
+                           update(s, pr, o, ob, a, r))
                    for s in range(args.num_species)]
 
     times = []
@@ -87,7 +87,7 @@ def main(argv=None):
             acts = jax.random.categorical(k, logits)
             rewards = jnp.asarray(all_rewards[lo:hi])
             params[s], opt_states[s] = updates_jit[s](
-                params[s], opt_states[s], obs, acts, rewards, values)
+                params[s], opt_states[s], obs, acts, rewards)
             onehot = np.zeros((hi - lo, NUM_ACTIONS), np.int32)
             onehot[np.arange(hi - lo), np.asarray(acts)] = 1
             action_buf[lo:hi] = onehot

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from madrona_bots_tpu.config import EnvConfig
+from madrona_bots_tpu.config import EnvConfig, RewardSetting
 from madrona_bots_tpu.env.state import init_state
 from madrona_bots_tpu.learn.a2c import (init_train_states, make_train_tick,
                                         make_optimizer)
@@ -40,7 +40,9 @@ def construct_run_name(args) -> str:
 def train(args):
     run_name = construct_run_name(args)
     cfg = EnvConfig(num_worlds=args.num_worlds, init_agents=32,
-                    max_agents=args.max_agents)
+                    max_agents=args.max_agents,
+                    num_species=args.num_species,
+                    reward_setting=RewardSetting(args.reward_setting))
     logger = MetricsLogger(use_wandb=args.use_wandb, run_name=run_name,
                            config=vars(args),
                            jsonl_path=os.path.join(args.model_save_dir,
@@ -85,14 +87,15 @@ def train(args):
         from madrona_bots_tpu.learn.a2c import SpeciesTrainState
         tstates.append(SpeciesTrainState(params, opt_state))
     tstates = tuple(tstates)
-
     compute_dtype = {"f32": None, "bf16": jnp.bfloat16}[args.compute_dtype]
+
     if args.algo == "ppo":
         # PPO scale path (BASELINE configs 2-4): one "epoch" = one PPO
         # iteration of `--rollout_len` on-device env steps + minibatch epochs.
         from madrona_bots_tpu.learn.ppo import make_ppo_trainer
         tick, _ = make_ppo_trainer(models, cfg, rollout_len=args.rollout_len,
-                                   lr=args.lr, use_pallas=args.use_pallas,
+                                   gamma=args.gamma, lr=args.lr,
+                                   use_pallas=args.use_pallas,
                                    optimizer=optimizer)
         state = init_state(jax.random.key(args.seed), cfg)
         if args.use_mesh:
@@ -106,7 +109,7 @@ def train(args):
         tick, _ = make_sharded_train_tick(
             models, cfg, mesh, lr=args.lr, gamma=args.gamma,
             proper_log_probs=args.proper_log_probs,
-            use_pallas=args.use_pallas)
+            use_pallas=args.use_pallas, compute_dtype=compute_dtype)
         state = shard_state(init_state(jax.random.key(args.seed), cfg), mesh)
         print(f"mesh: {len(mesh.devices.flat)} devices, worlds sharded")
     else:
@@ -146,7 +149,8 @@ def train(args):
             for m in ("actor_loss", "critic_loss", "total_loss")}
     time_values = []
 
-    def handle_epoch(rel_epoch, host_metrics, dt, save: bool = True):
+    def handle_epoch(rel_epoch, host_metrics, dt, save: bool = True,
+                     track_best: bool = True):
         """Log one epoch; with save=False best-metric bookkeeping still runs
         but file writes are deferred (block mode saves once per block —
         per-epoch saves would dominate wall time when the reference's
@@ -155,6 +159,9 @@ def train(args):
             print("Relative Epoch ", rel_epoch)
         host_metrics["epoch_fps"] = args.num_worlds / dt
         improved = []
+        if not track_best:
+            logger.log(host_metrics)
+            return improved
         for sp in range(args.num_species):
             epoch = start_epochs[sp] + rel_epoch
             host_metrics[f"species_{sp+1}_learning_rate"] = args.lr
@@ -201,10 +208,11 @@ def train(args):
             for j in range(tpb):
                 rel_epoch += 1
                 time_values.append(dt)
+                is_block_end = (j == tpb - 1) or (rel_epoch >= args.num_epochs)
                 improved.update(handle_epoch(
                     rel_epoch,
                     dict(zip(metric_keys, host_stack[j].tolist())), dt,
-                    save=False))
+                    save=False, track_best=is_block_end))
                 if rel_epoch >= args.num_epochs:
                     break
             # One save pass per block: latest + any bests that improved.
@@ -219,8 +227,10 @@ def train(args):
                           f"species_{sp+1}", epoch, metric_name=metric,
                           verbose=args.verbose)
 
-    avg = float(np.mean(time_values[1:])) if len(time_values) > 1 else time_values[0]
-    print(f"Average FPS for simulator: {args.num_worlds / avg}")
+    if time_values:
+        avg = (float(np.mean(time_values[1:])) if len(time_values) > 1
+               else time_values[0])
+        print(f"Average FPS for simulator: {args.num_worlds / avg}")
     logger.finish()
     return state, tstates
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import jax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from madrona_bots_tpu.config import EnvConfig
 from madrona_bots_tpu.learn import a2c
@@ -21,13 +21,12 @@ from madrona_bots_tpu.parallel.mesh import state_sharding, replicated
 def make_sharded_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
                             mesh: Mesh, lr: float = 3e-4, gamma: float = 1.0,
                             proper_log_probs: bool = False,
-                            use_pallas: bool = False):
+                            use_pallas: bool = False, compute_dtype=None):
     """Like a2c.make_train_tick but with explicit in/out shardings over the
     mesh: state worlds-sharded, train states + key replicated."""
-    optimizer = a2c.make_optimizer(lr)
-    base_tick, _ = a2c.make_train_tick(
+    base_tick, optimizer = a2c.make_train_tick(
         models, cfg, lr=lr, gamma=gamma, proper_log_probs=proper_log_probs,
-        use_pallas=use_pallas)
+        use_pallas=use_pallas, compute_dtype=compute_dtype)
     # Re-jit the underlying function with shardings (base_tick is jitted
     # without them; reuse its wrapped impl).
     impl = base_tick.__wrapped__

@@ -15,18 +15,24 @@ import jax
 
 
 class StepTimer:
-    """Wall-clock timing of jitted calls (blocks on the result)."""
+    """Wall-clock timing of jitted calls.
+
+    Use `timed(fn, *args)`: it runs fn, blocks on its RESULT, records the
+    elapsed time, and returns the result. (A context manager cannot see the
+    body's output — with async dispatch it would block on a stale value and
+    record enqueue latency, not execution. NOTE: on remote-TPU tunnels even
+    block_until_ready under-reports; prefer a device_get-anchored harness
+    like bench.py for publishable numbers.)"""
 
     def __init__(self):
         self.times: List[float] = []
 
-    @contextlib.contextmanager
-    def time(self, result_to_block=None):
+    def timed(self, fn, *args, **kwargs):
         t0 = time.perf_counter()
-        yield
-        if result_to_block is not None:
-            jax.block_until_ready(result_to_block)
+        out = fn(*args, **kwargs)
+        out = jax.block_until_ready(out)
         self.times.append(time.perf_counter() - t0)
+        return out
 
     def fps(self, num_worlds: int, skip_first: int = 1) -> float:
         ts = self.times[skip_first:] or self.times

@@ -57,10 +57,23 @@ class ScriptBotsViewer:
         else:
             self._keys.add(k)
 
+    def _selected_slot(self):
+        """inspect_agent = index into the inspected world's ALIVE agents
+        (clamped); returns the capacity slot, so rendering and keyboard
+        control target the SAME agent."""
+        import numpy as np
+        alive = np.asarray(self.sim_mgr.state.alive[self.inspect_world])
+        slots = np.flatnonzero(alive)
+        if slots.size == 0:
+            return 0
+        self.inspect_agent = min(max(self.inspect_agent, 0), slots.size - 1)
+        return int(slots[self.inspect_agent])
+
     def _apply_keys(self):
         if not self._keys:
             return
         mgr = self.sim_mgr
+        self._selected_slot()  # clamps inspect_agent to the alive count
         offset = mgr.agent_offset_for_world(self.inspect_world)
         sensor_idx = mgr.sensor_index_tensor().to_numpy()
         row = int(sensor_idx[offset + self.inspect_agent, 0])
@@ -108,11 +121,12 @@ class ScriptBotsViewer:
                 save_frame(self.sim_mgr.state, self.inspect_world,
                            self.sim_mgr.cfg,
                            os.path.join(self.frame_dir, f"epoch_{epoch:06d}.png"),
-                           agent_slot=self.inspect_agent)
+                           agent_slot=self._selected_slot())
 
     def _draw(self):
         cfg = self.sim_mgr.cfg
+        slot = self._selected_slot()
         render_world(self._ax, self.sim_mgr.state, self.inspect_world, cfg,
-                     selected_agent=self.inspect_agent)
+                     selected_agent=slot)
         render_sensor_strip(self._axd, self._axs, self.sim_mgr.state,
-                            self.inspect_world, self.inspect_agent, cfg)
+                            self.inspect_world, slot, cfg)
