@@ -98,3 +98,28 @@ def test_sim_state_roundtrip(tmp_path):
     s2_next = step(set_actions(s2, jnp.asarray(np.asarray(s2.action))), cfg)
     np.testing.assert_array_equal(np.asarray(s_next.alive),
                                   np.asarray(s2_next.alive))
+
+
+def test_save_is_crash_safe_ordering(tmp_path):
+    """The new checkpoint file must exist before stale ones are deleted
+    (write-then-delete): after two saves only the newest remains, and the
+    file written by save N is never the deletion victim of save N."""
+    import glob
+    import jax
+    from madrona_bots_tpu.learn.ckpt import CheckpointManager
+    from madrona_bots_tpu.models import ActorCritic, SpeciesNetGenerator
+
+    gen = SpeciesNetGenerator(69, 6, 16, 16, seed=0)
+    model = ActorCritic.from_generator(gen)
+    params = model.init(jax.random.key(0))
+    import optax
+    opt = optax.adam(1e-3)
+    ckpt = CheckpointManager(str(tmp_path))
+    ckpt.save(model, params, opt.init(params), "species_1", 1)
+    ckpt.save(model, params, opt.init(params), "species_1", 2)
+    files = sorted(glob.glob(str(tmp_path / "species_1" / "latest_*")))
+    assert len(files) == 1 and "epoch_2" in files[0], files
+    # Saving the SAME epoch twice must not delete the file it just wrote.
+    ckpt.save(model, params, opt.init(params), "species_1", 2)
+    files = glob.glob(str(tmp_path / "species_1" / "latest_*"))
+    assert len(files) == 1 and "epoch_2" in files[0], files
