@@ -63,8 +63,8 @@ def bench_env(num_worlds=8192, max_agents=128, iters=4, warmup=1,
             a = jax.random.randint(k, (num_worlds, max_agents), 0, NUM_ACTIONS)
             acts = jax.nn.one_hot(a, NUM_ACTIONS, dtype=jnp.int32)
             s = s.replace(action=acts)
-            s = env_mod.sensor_pass(env_mod.step_systems(s, cfg), cfg,
-                                    use_pallas)
+            s = env_mod.sensor_pass(
+                env_mod.step_systems(s, cfg, use_pallas), cfg, use_pallas)
             return s, ()
         state, _ = jax.lax.scan(body, state, jax.random.split(key, K))
         return state, _checksum(state)

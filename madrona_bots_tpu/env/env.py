@@ -25,8 +25,17 @@ i32 = jnp.int32
 f32 = jnp.float32
 
 
-def step_systems(state: WorldState, cfg: EnvConfig) -> WorldState:
-    """The Step graph (sim.cpp:1061-1181) minus the sensor pass."""
+def step_systems(state: WorldState, cfg: EnvConfig,
+                 use_pallas: bool = False) -> WorldState:
+    """The Step graph (sim.cpp:1061-1181) minus the sensor pass.
+
+    With use_pallas=True the whole graph runs through the fused Pallas
+    systems megakernel (ops/step_pallas.py) — bit-identical to this path on
+    every field except `surrounding` (SPEC deviation D5 reassociation;
+    tests/test_step_pallas.py)."""
+    if use_pallas:
+        from madrona_bots_tpu.ops.step_pallas import fused_step_systems
+        return fused_step_systems(state, cfg)
     t = state.step_count
     alive0 = state.alive
 
@@ -134,7 +143,7 @@ def sensor_pass(state: WorldState, cfg: EnvConfig, use_pallas: bool = False) -> 
 @partial(jax.jit, static_argnames=("cfg", "use_pallas"), donate_argnums=(0,))
 def step(state: WorldState, cfg: EnvConfig, use_pallas: bool = False) -> WorldState:
     """One full tick: Step graph then Sensor graph (Manager::step, mgr.cpp:51-63)."""
-    return sensor_pass(step_systems(state, cfg), cfg, use_pallas)
+    return sensor_pass(step_systems(state, cfg, use_pallas), cfg, use_pallas)
 
 
 @partial(jax.jit, static_argnames=("cfg", "use_pallas"))
@@ -193,7 +202,7 @@ def rollout(state: WorldState, key: jax.Array, num_steps: int,
     """
     def body(s, k):
         s = set_actions(s, policy_fn(s, k))
-        return sensor_pass(step_systems(s, cfg), cfg, use_pallas), ()
+        return sensor_pass(step_systems(s, cfg, use_pallas), cfg, use_pallas), ()
 
     state, _ = jax.lax.scan(body, state, jax.random.split(key, num_steps))
     return state

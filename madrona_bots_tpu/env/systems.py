@@ -445,6 +445,26 @@ class SpeciesOut(NamedTuple):
     health: jax.Array
 
 
+def respawn_draws(world_keys, t, cfg: EnvConfig) -> jax.Array:
+    """Respawn position draws, [W, NS, respawn_floor, 2] f32.
+
+    Shared by the jnp spec path (species_info) and the fused Pallas path
+    (ops/step_pallas.py) so both consume the identical RNG stream
+    (SPEC.md "RNG discipline", SALT_RESPAWN)."""
+    NS = cfg.num_species
+    floor_n = cfg.respawn_floor
+
+    def draw(wkey):
+        base = jax.random.fold_in(jax.random.fold_in(wkey, t), SALT_RESPAWN)
+        lims = jnp.array([cfg.world_lim_x, cfg.world_lim_y], f32)
+        return jnp.stack([
+            jax.random.uniform(jax.random.fold_in(base, s), (floor_n, 2), f32) * lims
+            for s in range(NS)
+        ])  # [NS, floor_n, 2]
+
+    return jax.vmap(draw)(world_keys)
+
+
 def species_info(pos, heading, alive, species, health, born_free_mask,
                  world_keys, t, cfg: EnvConfig) -> SpeciesOut:
     W, A = alive.shape
@@ -465,15 +485,7 @@ def species_info(pos, heading, alive, species, health, born_free_mask,
     # [W, A/NS] per-class view.
     needed = jnp.where(counts < floor_n, floor_n - counts, 0)        # [W, NS]
 
-    def draw(wkey):
-        base = jax.random.fold_in(jax.random.fold_in(wkey, t), SALT_RESPAWN)
-        lims = jnp.array([cfg.world_lim_x, cfg.world_lim_y], f32)
-        return jnp.stack([
-            jax.random.uniform(jax.random.fold_in(base, s), (floor_n, 2), f32) * lims
-            for s in range(NS)
-        ])  # [NS, floor_n, 2]
-
-    draws = jax.vmap(draw)(world_keys)                               # [W, NS, fl, 2]
+    draws = respawn_draws(world_keys, t, cfg)                        # [W, NS, fl, 2]
 
     Asub = A // NS
     free3 = born_free_mask.reshape(W, Asub, NS)

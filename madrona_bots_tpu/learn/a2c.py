@@ -142,7 +142,7 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def tick(state: WorldState, train_states, key):
         state = env_mod.sensor_pass(
-            env_mod.step_systems(state, cfg), cfg, use_pallas)
+            env_mod.step_systems(state, cfg, use_pallas), cfg, use_pallas)
 
         W, A = state.alive.shape
         # Species-class slot partitioning (SPEC D2b): slot i belongs to

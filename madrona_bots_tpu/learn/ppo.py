@@ -146,8 +146,8 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
             state = state.replace(
                 action=onehot.reshape(W, A, NUM_ACTIONS) * state.alive[..., None],
                 hidden=new_hidden)
-            state = env_mod.sensor_pass(env_mod.step_systems(state, cfg), cfg,
-                                        use_pallas)
+            state = env_mod.sensor_pass(
+                env_mod.step_systems(state, cfg, use_pallas), cfg, use_pallas)
             rec = Rollout(reward=state.reward, next_alive=state.alive,
                           **rec_pre)
             return (state, key), rec

@@ -1,0 +1,478 @@
+"""Fused Pallas "systems megakernel" — the production TPU step path.
+
+The reference fuses all 16 Step-graph nodes into one megakernel launch
+(/root/reference/src/sim/sim.cpp:1061-1181). The jnp spec path
+(env/systems.py) expresses every cross-agent interaction as a one-hot
+contraction; measured on a v5e chip those contractions cost 10-18 ms each at
+8192x128 because XLA materializes the [W, A, A] / [W, A, C] masks through HBM
+and lowers the batched matvecs poorly (dtype tricks measured flat — see
+artifacts/micro_dot.py). This kernel keeps every mask in VMEM per
+world-block and expresses each contraction as a static select-accumulate
+loop over the one-hot axis, so the whole systems phase is a few thousand
+full-vreg VPU ops per world block.
+
+Bit-parity contract: every dynamics-feeding quantity (damage counts, eat
+winners, breed/birth/respawn slot assignment, species counts/health sums) is
+INTEGER arithmetic — identical in any evaluation order — and every float
+that reaches the state (positions) is a verbatim copy of an input value, so
+this path is bit-identical to env/systems.py everywhere except the
+`surrounding` observation, which uses the oracle's 4-corner FMA form
+(oracle.py::_bilinear) instead of the jnp path's fused-weight einsum
+(env/systems.py:391-430) — an observation-only field, tolerance-tested
+(SPEC deviation D5 covers the reassociation freedom).
+tests/test_step_pallas.py asserts exact equality on everything else.
+
+Slot-allocation trick: per-class free/claim ranks come from ONE byte-packed
+lane cumsum (class c counts occupy bits [8c, 8c+8)) instead of the jnp
+path's [W, Asub, Asub] rank one-hots — valid while num_species <= 4 and
+max_agents / num_species < 256 (asserted at trace time).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from madrona_bots_tpu.config import EnvConfig
+
+i32 = jnp.int32
+f32 = jnp.float32
+
+
+def _col(x: jax.Array, j: int) -> jax.Array:
+    """Lane j of [wb, L] as a [wb, 1] column (broadcasts against [wb, L])."""
+    return x[:, j:j + 1]
+
+
+def _lane_cumsum(x: jax.Array, A: int) -> jax.Array:
+    """Inclusive cumsum along the lane (last) axis via log2 shifted adds.
+
+    Mosaic-friendly: each step is a lane roll plus a masked add (no
+    reduce_window lowering). x: [wb, A] i32."""
+    lane = jax.lax.broadcasted_iota(i32, x.shape, 1)
+    shift = 1
+    while shift < A:
+        x = x + jnp.where(lane >= shift, pltpu.roll(x, shift, 1), 0)
+        shift *= 2
+    return x
+
+
+def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
+            posy_ref, speedq_ref, cidx_ref, cell_ref, linp_ref, xi_ref,
+            yi_ref, food_ref, drawx_ref, drawy_ref,
+            hf_ref, he_ref, dmg_ref, eaten_ref, breeder_ref, born_ref,
+            bposx_ref, bposy_ref, bsurrp_ref, bsurrm_ref, resp_ref,
+            rposx_ref, rposy_ref, surrp_ref, surrm_ref, counts_ref,
+            hsum_ref, consumed_ref, *, cfg: EnvConfig):
+    wb, A = flags_ref.shape
+    C = cfg.num_chunks
+    P = cfg.max_food_packages
+    NS = cfg.num_species
+    FL = cfg.respawn_floor
+    BIG = i32(A)
+
+    flags = flags_ref[...]
+    alive0 = flags & 1                                    # [wb, A] i32 0/1
+    shot_pre = (flags >> 1) & 1
+    act_breed = (flags >> 2) & 1
+    species = species_ref[...]
+    finder = finder_ref[...]
+    health0 = health_ref[...]
+    cidx = cidx_ref[...]
+    lane = jax.lax.broadcasted_iota(i32, (wb, A), 1)
+    cls = lane % NS                                       # slot class (D2b)
+
+    # ---- finder gather: pay[w, finder[w, a]] with packed payload ----
+    pay = alive0 + 8 * species                            # 0..33
+    g = jnp.zeros((wb, A), i32)
+    for t in range(A):
+        g = jnp.where(finder == t, _col(pay, t), g)
+    ta = g & 7                                            # target alive 0/1
+    ts = g >> 3                                           # target species
+
+    valid_shot = shot_pre * ta
+    hf_ref[...] = valid_shot * (ts == species)
+    he_ref[...] = valid_shot * (ts != species)
+
+    # ---- damage histogram: dmg[w, t] = sum_a valid_shot[a]*(finder[a]==t) ----
+    dmg = jnp.zeros((wb, A), i32)
+    for a in range(A):
+        dmg = dmg + jnp.where(lane == _col(finder, a), _col(valid_shot, a), 0)
+    dmg_ref[...] = dmg
+
+    health1 = health0 - jnp.where(alive0 > 0, cfg.shoot_damage * dmg, 0)
+
+    # ---- per-agent food-package payload gather (chunk-indexed) ----
+    # food_ref: [wb, P, C] packed has + 2*(cellx + chunk_width*celly).
+    food = food_ref[...]                                  # [wb, P, C]
+    gath = [jnp.zeros((wb, A), i32) for _ in range(P)]
+    for c in range(C):
+        m = cidx == c
+        for p in range(P):
+            gath[p] = jnp.where(m, _col(food[:, p, :], c), gath[p])
+
+    # ---- eat: packages in order, lowest slot wins per chunk ----
+    cell = cell_ref[...]                                  # cellx + cw*celly
+    eaten = jnp.zeros((wb, A), i32)
+    consumed = []
+    for p in range(P):
+        has_p = gath[p] & 1
+        cell_p = gath[p] >> 1
+        contend = ((alive0 > 0) & (has_p > 0) & (eaten == 0)
+                   & (cell == cell_p))
+        key = jnp.where(contend, lane, BIG)
+        winner_cols = []
+        winner_here = jnp.full((wb, A), BIG, i32)
+        for c in range(C):
+            m = cidx == c
+            k_c = jnp.min(jnp.where(m, key, BIG), axis=1, keepdims=True)
+            winner_cols.append(k_c)
+            winner_here = jnp.where(m, k_c, winner_here)
+        is_winner = contend & (lane == winner_here)
+        eaten = eaten | is_winner.astype(i32)
+        consumed.append(
+            (jnp.concatenate(winner_cols, axis=1) < BIG).astype(i32))
+    consumed_ref[...] = jnp.stack(consumed, axis=1)       # [wb, P, C]
+    eaten_ref[...] = eaten
+
+    health2 = health1 + cfg.eat_health * eaten
+
+    # ---- breed eligibility (post-eat health, sim.cpp:547-569) ----
+    breeder = ((act_breed > 0) & (alive0 > 0)
+               & (health2 > cfg.breed_min_health) & (finder >= 0)
+               & (ta > 0) & (ts == species)).astype(i32)
+    breeder_ref[...] = breeder
+    health3 = health2 - cfg.breed_cost * breeder
+    died = (alive0 > 0) & (health3 <= 0)
+    alive_ad = (alive0 > 0) & ~died
+
+    # ---- chunk tallies (post-move positions, step-start alive;
+    #      sim.cpp:488-502). Packed count + 512*speed (count <= A <= 256). --
+    speedq = speedq_ref[...]
+    enc_tally = jnp.where(alive0 > 0, 1 + 512 * speedq, 0)
+    tallies = []                                          # [wb, 1] per chunk
+    for c in range(C):
+        tallies.append(jnp.sum(jnp.where(cidx == c, enc_tally, 0),
+                               axis=1, keepdims=True))
+
+    # ---- surrounding: oracle 4-corner bilinear at the input positions ----
+    # (Newborns inherit the parent's value via the birth scatter below —
+    # bilinear at the same position is the same value.)
+    linp = linp_ref[...]
+    corners = [(linp >> (6 * k)) & 63 for k in range(4)]  # lin+1; 0 = OOB
+    cg = [jnp.zeros((wb, A), i32) for _ in range(4)]
+    for c in range(C):
+        t_c = tallies[c]
+        for k in range(4):
+            cg[k] = jnp.where(corners[k] == c + 1, t_c, cg[k])
+    na = [(x & 511).astype(f32) for x in cg]
+    ts_ = [(x >> 9).astype(f32) for x in cg]
+    xi = xi_ref[...]
+    yi = yi_ref[...]
+    one = f32(1.0)
+    na_x0 = xi * na[1] + (one - xi) * na[0]
+    na_x1 = xi * na[3] + (one - xi) * na[2]
+    ts_x0 = xi * ts_[1] + (one - xi) * ts_[0]
+    ts_x1 = xi * ts_[3] + (one - xi) * ts_[2]
+    surrp = yi * na_x1 + (one - yi) * na_x0
+    surrm = yi * ts_x1 + (one - yi) * ts_x0
+    surrp_ref[...] = surrp
+    surrm_ref[...] = surrm
+
+    # ---- birth slot claims (class-partitioned, SPEC D2b) ----
+    # Byte-packed per-class lane cumsums: rank of slot i among same-class
+    # free slots; rank of breeder a among same-class breeders.
+    free = 1 - alive0
+    cs_free = _lane_cumsum(free << (8 * cls), A)
+    free_rank = ((cs_free >> (8 * cls)) & 255) - 1
+    num_free = (_col(cs_free, A - 1) >> (8 * cls)) & 255  # class total
+    want_rank = ((_lane_cumsum(breeder << (8 * cls), A) >> (8 * cls)) & 255) - 1
+    granted = (breeder > 0) & (want_rank < num_free)
+
+    # Match r-th granted breeder of class c -> r-th free slot of class c.
+    keyq_parent = jnp.where(granted, cls + NS * want_rank, -1)
+    keyq_slot = jnp.where(free > 0, cls + NS * free_rank, -2)
+    posx = posx_ref[...]
+    posy = posy_ref[...]
+    born = jnp.zeros((wb, A), i32)
+    bposx = jnp.zeros((wb, A), f32)
+    bposy = jnp.zeros((wb, A), f32)
+    bsurrp = jnp.zeros((wb, A), f32)
+    bsurrm = jnp.zeros((wb, A), f32)
+    for a in range(A):
+        m = keyq_slot == _col(keyq_parent, a)
+        born = jnp.where(m, 1, born)
+        bposx = jnp.where(m, _col(posx, a), bposx)
+        bposy = jnp.where(m, _col(posy, a), bposy)
+        bsurrp = jnp.where(m, _col(surrp, a), bsurrp)
+        bsurrm = jnp.where(m, _col(surrm, a), bsurrm)
+    born_ref[...] = born
+    bposx_ref[...] = bposx
+    bposy_ref[...] = bposy
+    bsurrp_ref[...] = bsurrp
+    bsurrm_ref[...] = bsurrm
+
+    # ---- species counts + health sums (post-birth, pre-respawn) ----
+    alive_pb = alive_ad | (born > 0)
+    species_pb = jnp.where(born > 0, cls + 1, species)
+    health_pb = jnp.where(born > 0, cfg.child_health, health3)
+    counts_packed = jnp.sum(jnp.where(alive_pb, 1 << (8 * cls), 0),
+                            axis=1, keepdims=True)        # [wb, 1]
+    counts_cols = []
+    hsum_cols = []
+    for s in range(NS):
+        counts_cols.append((counts_packed >> (8 * s)) & 255)
+        hsum_cols.append(jnp.sum(
+            jnp.where(alive_pb & (species_pb == s + 1), health_pb, 0),
+            axis=1, keepdims=True))
+    counts_ref[...] = jnp.concatenate(counts_cols, axis=1)   # [wb, NS]
+    hsum_ref[...] = jnp.concatenate(hsum_cols, axis=1)
+
+    # ---- respawn claims: top class s up to respawn_floor agents ----
+    free2 = free * (1 - born)
+    free2_rank = ((_lane_cumsum(free2 << (8 * cls), A) >> (8 * cls)) & 255) - 1
+    needed = jnp.zeros((wb, A), i32)
+    for s in range(NS):
+        needed = jnp.where(cls == s,
+                           jnp.maximum(FL - counts_cols[s], 0), needed)
+    respawned = (free2 > 0) & (free2_rank < needed)
+    resp_ref[...] = respawned.astype(i32)
+
+    # Draw gather: slot with free2-rank r of class s takes draw (s, r).
+    drawx = drawx_ref[...]                                # [wb, NS*FL]
+    drawy = drawy_ref[...]
+    dkey = jnp.where(respawned, cls * FL + free2_rank, -1)
+    rposx = jnp.zeros((wb, A), f32)
+    rposy = jnp.zeros((wb, A), f32)
+    for k in range(NS * FL):
+        m = dkey == k
+        rposx = jnp.where(m, _col(drawx, k), rposx)
+        rposy = jnp.where(m, _col(drawy, k), rposy)
+    rposx_ref[...] = rposx
+    rposy_ref[...] = rposy
+
+
+@partial(jax.jit, static_argnames=("cfg", "worlds_per_block", "interpret"))
+def systems_pallas(flags, species, finder, health, posx, posy, speedq, cidx,
+                   cell, linp, xi, yi, food_packed, drawx, drawy,
+                   cfg: EnvConfig, worlds_per_block: int = 8,
+                   interpret: bool = False):
+    """Run the fused systems kernel; see _kernel for per-ref semantics."""
+    W, A = flags.shape
+    C, P, NS = cfg.num_chunks, cfg.max_food_packages, cfg.num_species
+    assert NS <= 4 and A // NS < 256, "byte-packed rank cumsum bounds"
+    assert C < 63, "6-bit corner packing bound"
+    wb = min(worlds_per_block, W)
+    while W % wb != 0:
+        wb -= 1
+
+    sA = pl.BlockSpec((wb, A), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    sPC = pl.BlockSpec((wb, P, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    sD = pl.BlockSpec((wb, NS * cfg.respawn_floor), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM)
+    sNS = pl.BlockSpec((wb, NS), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    fA = jax.ShapeDtypeStruct((W, A), f32)
+    iA = jax.ShapeDtypeStruct((W, A), i32)
+    out_shape = (iA, iA, iA, iA, iA, iA,          # hf he dmg eaten breeder born
+                 fA, fA, fA, fA,                  # bposx bposy bsurrp bsurrm
+                 iA, fA, fA,                      # respawned rposx rposy
+                 fA, fA,                          # surrp surrm
+                 jax.ShapeDtypeStruct((W, NS), i32),
+                 jax.ShapeDtypeStruct((W, NS), i32),
+                 jax.ShapeDtypeStruct((W, P, C), i32))
+    out_specs = tuple([sA] * 15 + [sNS, sNS, sPC])
+
+    return pl.pallas_call(
+        partial(_kernel, cfg=cfg),
+        grid=(W // wb,),
+        in_specs=[sA] * 12 + [sPC, sD, sD],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(flags, species, finder, health, posx, posy, speedq, cidx, cell, linp,
+      xi, yi, food_packed, drawx, drawy)
+
+
+# ---------------------------------------------------------------------------
+# Fused step: XLA elementwise pre/post + the megakernel in the middle.
+# Mirrors env.step_systems (the jnp spec path) state-for-state; the parity
+# test (tests/test_step_pallas.py) pins the two together field by field.
+# ---------------------------------------------------------------------------
+
+def _corner_pack(pos, cfg: EnvConfig):
+    """Bilinear corner chunk indices + fractional weights at `pos`.
+
+    Same corner enumeration as env/systems.py:surrounding_observation
+    (order 00, 10, 01, 11) and oracle._bilinear; OOB corners pack as 0
+    (the kernel compares against c + 1)."""
+    cw = jnp.float32(cfg.chunk_width)
+    cell = pos / jnp.float32(cfg.cell_dim) - cw * 0.5
+    ch = cell / cw
+    ch0 = jnp.floor(ch)
+    xi = ch[..., 0] - ch0[..., 0]
+    yi = ch[..., 1] - ch0[..., 1]
+    fx, fy = ch0[..., 0], ch0[..., 1]
+    cx_, cy_ = jnp.ceil(ch[..., 0]), jnp.ceil(ch[..., 1])
+
+    linp = jnp.zeros(pos.shape[:-1], i32)
+    for k, (cxf, cyf) in enumerate(((fx, fy), (cx_, fy), (fx, cy_), (cx_, cy_))):
+        cx = cxf.astype(i32)
+        cy = cyf.astype(i32)
+        ok = ((cx >= 0) & (cy >= 0)
+              & (cx < cfg.num_chunks_x) & (cy < cfg.num_chunks_y))
+        lin1 = jnp.where(ok, cx + cy * cfg.num_chunks_x + 1, 0)
+        linp = linp | (lin1 << (6 * k))
+    return linp, xi, yi
+
+
+def fused_step_systems(state, cfg: EnvConfig, interpret: bool = False):
+    """Drop-in replacement for env.step_systems using the systems kernel."""
+    from madrona_bots_tpu.config import (
+        ACTION_BACKWARD, ACTION_BREED, ACTION_FORWARD, ACTION_ROTATE_LEFT,
+        ACTION_ROTATE_RIGHT, ACTION_SHOOT)
+    from madrona_bots_tpu.env import systems
+
+    t = state.step_count
+    alive0 = state.alive
+    W, A = alive0.shape
+    NS = cfg.num_species
+    FL = cfg.respawn_floor
+    cw = cfg.chunk_width
+
+    # Node 2: food spawn (shared jnp implementation — small [W, C, P] state).
+    food_count, food_cell, num_food = systems.food_spawn(
+        state.food_count, state.food_cell, state.num_food,
+        state.world_keys, t, cfg)
+
+    # Node 3 elementwise piece (rotate/move/clamp, sim.cpp:456-486) —
+    # verbatim from systems.action_system so float trajectories match bits.
+    act = state.action > 0
+    rl = act[..., ACTION_ROTATE_LEFT]
+    rr = act[..., ACTION_ROTATE_RIGHT] & ~rl
+    delta = jnp.float32(cfg.rotation_delta)
+    new_heading = jnp.where(alive0, state.heading + jnp.where(rl, delta, 0.0)
+                            - jnp.where(rr, delta, 0.0), state.heading)
+    fwd = act[..., ACTION_FORWARD]
+    bwd = act[..., ACTION_BACKWARD] & ~fwd
+    mv = jnp.where(fwd, cfg.move_speed, 0.0) - jnp.where(bwd, cfg.move_speed, 0.0)
+    direction = jnp.stack([jnp.cos(new_heading), jnp.sin(new_heading)], axis=-1)
+    new_pos = state.pos + direction * (mv * alive0)[..., None]
+    lim = jnp.array([cfg.world_lim_x - 1.0, cfg.world_lim_y - 1.0], f32)
+    new_pos = jnp.clip(new_pos, 0.0, lim)
+    new_pos = jnp.where(alive0[..., None], new_pos, state.pos)
+
+    d = new_pos - state.pos
+    speed_q = (jnp.sqrt(jnp.sum(d * d, axis=-1)) * 2.0).astype(i32)
+    cidx = jnp.where(alive0, systems.chunk_index(new_pos, cfg), -1)
+    cell2 = systems.cell_in_chunk(new_pos, cfg)
+    cell = cell2[..., 0] + cw * cell2[..., 1]
+    linp, xi, yi = _corner_pack(new_pos, cfg)
+
+    flags = (alive0.astype(i32)
+             + 2 * (act[..., ACTION_SHOOT] & alive0 & (state.finder >= 0)).astype(i32)
+             + 4 * act[..., ACTION_BREED].astype(i32))
+    food_packed = jnp.transpose(
+        (food_count > 0).astype(i32)
+        + 2 * (food_cell[..., 0] + cw * food_cell[..., 1]), (0, 2, 1))
+
+    draws = systems.respawn_draws(state.world_keys, t, cfg)  # [W, NS, FL, 2]
+    drawx = draws[..., 0].reshape(W, NS * FL)
+    drawy = draws[..., 1].reshape(W, NS * FL)
+
+    (hf, he, dmg, eaten, breeder, born_i, bposx, bposy, bsurrp, bsurrm,
+     resp_i, rposx, rposy, surrp, surrm, counts, hsum, consumed) = \
+        systems_pallas(flags, state.species, state.finder, state.health,
+                       new_pos[..., 0], new_pos[..., 1], speed_q, cidx, cell,
+                       linp, xi, yi, food_packed, drawx, drawy, cfg,
+                       interpret=interpret)
+
+    born = born_i > 0
+    respawned = resp_i > 0
+    cls1 = (jnp.arange(A, dtype=i32) % NS) + 1            # slot class species
+
+    # Health chain (sim.cpp:505-581) — same integer ops as the kernel ran.
+    health = jnp.where(alive0, state.health - cfg.shoot_damage * dmg,
+                       state.health)
+    health = health + cfg.eat_health * eaten
+    health = health - cfg.breed_cost * breeder
+    died = alive0 & (health <= 0)
+    alive_ad = alive0 & ~died
+    alive = alive_ad | born | respawned
+    new_mask = born | respawned
+
+    health = jnp.where(born, i32(cfg.child_health), health)
+    health = jnp.where(respawned, i32(cfg.init_health), health)
+    species = jnp.where(new_mask, cls1, state.species)
+    heading = jnp.where(new_mask, 0.0, new_heading)
+    pos = jnp.where(born[..., None],
+                    jnp.stack([bposx, bposy], axis=-1), new_pos)
+    pos = jnp.where(respawned[..., None],
+                    jnp.stack([rposx, rposy], axis=-1), pos)
+
+    # Species rewards — same float expression as systems.species_info.
+    avg_health = jnp.where(counts > 0,
+                           hsum.astype(f32) / counts.astype(f32), 0.0)
+    rewards = (counts.astype(f32) / jnp.float32(cfg.init_agents)
+               + avg_health / 100.0 - 2.0)
+
+    # Surrounding: newborns inherit the parent's bilinear value (same pos).
+    surr = jnp.stack([jnp.where(born, bsurrp, surrp),
+                      jnp.where(born, bsurrm, surrm)], axis=-1)
+    alive_pb = alive_ad | born
+    surrounding = jnp.where(alive_pb[..., None], surr, 0.0)
+
+    stats = jnp.stack([
+        jnp.where(~new_mask, hf, 0),
+        jnp.where(~new_mask, he, 0),
+        jnp.where(~new_mask, eaten, 0),
+        jnp.where(~new_mask, breeder, 0),
+    ], axis=-1)
+
+    reward = systems.reward_system(species, health, alive, rewards, stats,
+                                   pos, cfg)
+
+    # Food updates from the kernel's per-package consumption map.
+    consumed_cp = jnp.transpose(consumed, (0, 2, 1))      # [W, C, P]
+    food_count = jnp.where(consumed_cp > 0, 0, food_count)
+    num_food = num_food - jnp.sum(consumed, axis=(1, 2))
+
+    keep = (alive & ~new_mask)[..., None]
+    prev_sensor_depth = jnp.where(keep, state.sensor_depth, 0).astype(jnp.uint8)
+    prev_sensor_semantic = jnp.where(keep, state.sensor_semantic, -1).astype(jnp.int8)
+
+    dead = ~alive
+    return state.replace(
+        pos=jnp.where(dead[..., None], 0.0, pos),
+        heading=jnp.where(dead, 0.0, heading),
+        health=jnp.where(dead, 0, health),
+        alive=alive,
+        species=jnp.where(dead, 0, species),
+        stats=jnp.where(dead[..., None], 0, stats),
+        hidden=jnp.where((dead | new_mask)[..., None], 0.0, state.hidden),
+        action=jnp.where((dead | new_mask)[..., None], 0, state.action),
+        surrounding=jnp.where(dead[..., None], 0.0,
+                              jnp.where(respawned[..., None], 0.0, surrounding)),
+        reward=jnp.where(dead, 0.0, reward),
+        prev_sensor_depth=prev_sensor_depth,
+        prev_sensor_semantic=prev_sensor_semantic,
+        food_count=food_count,
+        food_cell=food_cell,
+        num_food=num_food,
+        species_counts=counts,
+        species_rewards=rewards,
+        step_count=t + 1,
+        prev_species=jnp.where(dead | new_mask, 0, state.prev_species),
+        prev_pos=jnp.where((dead | new_mask)[..., None], 0.0, state.prev_pos),
+        prev_health=jnp.where(dead | new_mask, 0, state.prev_health),
+        prev_surrounding=jnp.where((dead | new_mask)[..., None], 0.0,
+                                   state.prev_surrounding),
+        prev_reward=jnp.where(dead | new_mask, 0.0, state.prev_reward),
+        prev_action=jnp.where((dead | new_mask)[..., None], 0, state.prev_action),
+        prev_stats=jnp.where((dead | new_mask)[..., None], 0, state.prev_stats),
+        prev_hidden=jnp.where((dead | new_mask)[..., None], 0.0, state.prev_hidden),
+    )

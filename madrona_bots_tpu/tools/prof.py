@@ -24,7 +24,8 @@ from madrona_bots_tpu.ops.raycast_pallas import raycast_pallas
 def _red(out):
     return sum(jnp.sum(jnp.asarray(x).astype(jnp.float32))
                for x in jax.tree.leaves(out)
-               if not jax.dtypes.issubdtype(x.dtype, jax.dtypes.extended))
+               if not jax.dtypes.issubdtype(jnp.asarray(x).dtype,
+                                            jax.dtypes.extended))
 
 
 def bench(name, f, *args, iters=3):
@@ -57,8 +58,12 @@ def main():
     bench("sensor_pallas", lambda p, h, al, sp: raycast_pallas(p, h, al, sp, cfg),
           state.pos, state.heading, state.alive, state.species)
     bench("step_systems", lambda s: env_mod.step_systems(s, cfg), state)
+    bench("step_systems_fused", lambda s: env_mod.step_systems(s, cfg, True),
+          state)
     bench("full_step", lambda s: env_mod.sensor_pass(
         env_mod.step_systems(s, cfg), cfg, True), state)
+    bench("full_step_fused", lambda s: env_mod.sensor_pass(
+        env_mod.step_systems(s, cfg, True), cfg, True), state)
 
 
 if __name__ == "__main__":
