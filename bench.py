@@ -139,12 +139,15 @@ def bench_ppo(num_worlds=8192, max_agents=128, iters=2, warmup=1,
 
     if use_pallas is None:
         use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
+    compute_dtype = {"f32": None, "bf16": jnp.bfloat16}[
+        os.environ.get("BENCH_DTYPE", "bf16")]
     cfg = EnvConfig(num_worlds=num_worlds, init_agents=32,
                     max_agents=max_agents)
     gen = SpeciesNetGenerator(cfg.obs_dim, 6, 128, cfg.hidden_state_dim, seed=0)
     models = [ActorCritic.from_generator(gen) for _ in range(cfg.num_species)]
     it, opt = make_ppo_trainer(models, cfg, rollout_len=rollout_len,
-                               use_pallas=use_pallas)
+                               use_pallas=use_pallas,
+                               compute_dtype=compute_dtype)
     tstates = init_train_states(models, jax.random.key(1), opt)
     state = init_state(jax.random.key(0), cfg)
     key = jax.random.key(2)

@@ -194,9 +194,13 @@ class SimManager:
 
     def health_tensor(self, is_prev: bool = False) -> Tensor:
         """float32 [N, 1] VALUES (deviation D5: the reference bit-reinterprets
-        the int32 storage as float32, quirk Q2)."""
+        the int32 storage as float32 — quirk Q2, mgr.cpp:329-346);
+        quirk_compat=True restores the bit-reinterpretation."""
         s = self.state
         src = s.prev_health if is_prev else s.health
+        if self.quirk_compat:
+            raw = self._gather(f"healthQ{is_prev}", np.asarray(src)[..., None])
+            return Tensor(raw.to_numpy().astype(np.int32).view(np.float32))
         return self._gather(f"health{is_prev}",
                             np.asarray(src)[..., None], np.float32)
 

@@ -95,6 +95,14 @@ class EnvConfig:
 
     reward_setting: RewardSetting = RewardSetting.SETTING_8
 
+    # Reference-bug emulation toggles (SPEC.md deviations; default = fixed).
+    # Each is mirrored in the oracle and covered by tests/test_quirks.py —
+    # together with the manager's quirk_compat (Q1/Q2 export quirks) they
+    # reproduce the reference's exact behavior for side-by-side experiments.
+    quirk_d1_stale_finder: bool = False   # shoot/breed ignore target-alive (stale handle UB, sim.cpp:434-454, 547-569)
+    quirk_d3_oob_reward: bool = False     # reward reads rewards[min(species, NS-1)] (OOB read emulation, sim.cpp:943)
+    quirk_d4_shift_typo: bool = False     # shift copies hitFriendly into prev.hitEnemy (sim.cpp:1034)
+
     # --- derived ---
 
     @property

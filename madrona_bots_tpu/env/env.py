@@ -161,10 +161,15 @@ def init_and_sense(key: jax.Array, cfg: EnvConfig, use_pallas: bool = False) -> 
     return sensor_pass(init_state(key, cfg), cfg, use_pallas)
 
 
-def shift_observations_impl(state: WorldState) -> WorldState:
+def shift_observations_impl(state: WorldState,
+                            cfg: EnvConfig | None = None) -> WorldState:
     """The ShiftObservations graph (sim.cpp:1190-1220): cur -> prev for the
-    7 obs components + hidden state. Field-to-field (deviation D4: the
-    reference copies hitFriendly into prev.hitEnemy, sim.cpp:1034)."""
+    7 obs components + hidden state. Field-to-field by default (deviation
+    D4); with cfg.quirk_d4_shift_typo the reference's typo is reproduced:
+    prev.hitEnemy receives cur.hitFriendly (sim.cpp:1034)."""
+    stats = state.stats
+    if cfg is not None and cfg.quirk_d4_shift_typo:
+        stats = stats.at[..., 1].set(stats[..., 0])
     return state.replace(
         prev_species=state.species,
         prev_pos=state.pos,
@@ -172,15 +177,14 @@ def shift_observations_impl(state: WorldState) -> WorldState:
         prev_surrounding=state.surrounding,
         prev_reward=state.reward,
         prev_action=state.action,
-        prev_stats=state.stats,
+        prev_stats=stats,
         prev_hidden=state.hidden,
     )
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0,))
 def shift_observations(state: WorldState, cfg: EnvConfig) -> WorldState:
-    del cfg
-    return shift_observations_impl(state)
+    return shift_observations_impl(state, cfg)
 
 
 def set_actions(state: WorldState, actions: jax.Array) -> WorldState:

@@ -234,7 +234,13 @@ def action_system(pos, heading, alive, species, action, finder, cfg: EnvConfig) 
     finder_oh = onehot_mask(finder, A)                               # [W, A, T]
     target_alive = onehot_gather(alive, finder_oh) > 0
     target_species = onehot_gather(species, finder_oh).astype(i32)
-    valid_shot = act[..., ACTION_SHOOT] & alive & (finder >= 0) & target_alive
+    # Quirk D1: the reference follows the previous frame's entity handle
+    # without re-checking liveness (stale-handle UB, sim.cpp:434-454); the
+    # emulation drops the target-alive requirement (a dead slot absorbs the
+    # shot as a no-op since dead health never updates).
+    ta_ok = jnp.ones_like(target_alive) if cfg.quirk_d1_stale_finder \
+        else target_alive
+    valid_shot = act[..., ACTION_SHOOT] & alive & (finder >= 0) & ta_ok
     damage = jnp.einsum(
         "wat,wa->wt", finder_oh.astype(f32),
         jnp.where(valid_shot, f32(cfg.shoot_damage), 0.0),
@@ -338,12 +344,16 @@ def health_sync(pos, heading, alive, species, health, action, finder, damage,
         num_food = num_food - jnp.sum(consumed_chunk, axis=1)
 
     # --- breed (sim.cpp:547-569): post-damage, post-eat health; crosshair
-    # target must be alive (at step start) and same species ---
+    # target must be alive (at step start) and same species (quirk D1 drops
+    # the liveness check — dead slots hold species 0, so breeding into a
+    # dead crosshair still fails on the species test) ---
     finder_oh = onehot_mask(finder, A)
     target_alive = onehot_gather(alive, finder_oh) > 0
     target_species = onehot_gather(species, finder_oh).astype(i32)
+    ta_ok = jnp.ones_like(target_alive) if cfg.quirk_d1_stale_finder \
+        else target_alive
     breeder = (act[..., ACTION_BREED] & alive & (health > cfg.breed_min_health)
-               & (finder >= 0) & target_alive & (target_species == species))
+               & (finder >= 0) & ta_ok & (target_species == species))
     health = health - jnp.where(breeder, cfg.breed_cost, 0)
 
     # --- death (sim.cpp:574-578) ---
@@ -526,7 +536,13 @@ def reward_system(species, health, alive, species_rewards, stats, pos,
     sim.cpp:979-982, so they are per-step flags). Returns reward [W, A] f32."""
     W, A = alive.shape
     setting = int(cfg.reward_setting)
-    sp0 = jnp.clip(species - 1, 0, cfg.num_species - 1)
+    if cfg.quirk_d3_oob_reward:
+        # Reference indexes rewards[speciesID] with speciesID in 1..NS on an
+        # [NS] array (sim.cpp:943): species s reads species s+1's reward and
+        # species NS reads out of bounds — emulated as a clamped read.
+        sp0 = jnp.clip(species, 0, cfg.num_species - 1)
+    else:
+        sp0 = jnp.clip(species - 1, 0, cfg.num_species - 1)
     base = onehot_gather(species_rewards, onehot_mask(sp0, cfg.num_species))
     pop_health = base + health.astype(f32) / 100.0 - 0.5
 

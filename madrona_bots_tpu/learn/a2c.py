@@ -60,7 +60,8 @@ def _species_update(model: ActorCritic, optimizer, ts: SpeciesTrainState,
     mask) additionally excludes agents with no valid previous transition —
     slots born/respawned THIS tick have zeroed prev twins and would otherwise
     inject fictitious (zero-obs, action-0) transitions into the gradient
-    (the reference trains on uninitialized prev rows there; deviation). With
+    (the reference trains on uninitialized prev rows there; SPEC deviation
+    D9). With
     compute_dtype (e.g. bf16) forwards run in reduced precision against f32
     master params (mixed-precision; grads/optimizer stay f32)."""
     if loss_mask is None:
@@ -212,7 +213,7 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
         new_hidden = jnp.stack(hidden_cols, axis=2)      # [W, Asub, NS, H]
 
         # shift, then write actions + memory (training_loop.py:135-137).
-        state = env_mod.shift_observations_impl(state)
+        state = env_mod.shift_observations_impl(state, cfg)
         state = state.replace(
             action=new_action.reshape(W, A, NUM_ACTIONS),
             hidden=new_hidden.reshape(state.hidden.shape).astype(

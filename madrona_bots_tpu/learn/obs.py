@@ -12,6 +12,7 @@ surrounding(2)].
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from madrona_bots_tpu.config import EnvConfig
@@ -23,9 +24,11 @@ f32 = jnp.float32
 def construct_obs(state: WorldState, cfg: EnvConfig, prev: bool = False,
                   quirk_compat: bool = False, dtype=f32) -> jnp.ndarray:
     """[W, A, obs_dim] in `dtype`. With quirk_compat=True the depth block
-    carries the semantic bytes, reproducing the reference's depth-export bug
-    (Q1, sim.cpp:98-104). Building directly in bf16 halves the HBM traffic
-    of the learner's obs reads (the dominant cost of the train tick)."""
+    carries the semantic bytes (Q1, sim.cpp:98-104) and the health column is
+    the int32 storage bit-reinterpreted as float32 (Q2, mgr.cpp:329-346) —
+    the exact values the reference trains on. Building directly in bf16
+    halves the HBM traffic of the learner's obs reads (the dominant cost of
+    the train tick)."""
     if prev:
         depth = state.prev_sensor_depth
         semantic = state.prev_sensor_semantic
@@ -38,11 +41,14 @@ def construct_obs(state: WorldState, cfg: EnvConfig, prev: bool = False,
         health = state.health
         pos = state.pos
         surrounding = state.surrounding
+    health_col = health[..., None]
     if quirk_compat:
         depth = semantic.astype(jnp.uint8)
+        health_col = jax.lax.bitcast_convert_type(
+            health_col.astype(jnp.int32), f32)
     return jnp.concatenate([
         depth.astype(dtype),
-        health[..., None].astype(dtype),
+        health_col.astype(dtype),
         pos.astype(dtype),
         semantic.astype(dtype),
         surrounding.astype(dtype),

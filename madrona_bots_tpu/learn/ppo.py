@@ -9,6 +9,20 @@ reconstructed at update time), GAE runs over the scan axis, and each species
 takes clipped-surrogate minibatch updates. Worlds shard over the mesh like
 the A2C path; gradients psum via GSPMD.
 
+Minibatch discipline (TPU-native): a random permutation per epoch would be a
+million-row gather, which TPU serializes. Instead rows keep their
+[T, W, Asub] layout and minibatch c = rows congruent to c (mod M) — a plain
+strided slice. Two cheap decorrelators replace the shuffle:
+  * per PPO iteration, every species buffer is rolled along the row axis by
+    a key-derived offset, so stride-class membership changes between
+    iterations;
+  * per update epoch e, minibatch i visits class (i + e) % M, so Adam sees
+    the classes in a different order each epoch.
+
+Mixed precision: with compute_dtype=jnp.bfloat16 the policy forwards (both
+rollout and update) run in bf16 against f32 master params; GAE, losses,
+grads and Adam state stay f32.
+
 Slot semantics: capacity slots are reused by births/respawns, but only slots
 that were dead at step start can be claimed (SPEC §4.6), so `alive[t] &
 alive[t+1]` guarantees the same agent occupies the slot across the
@@ -18,7 +32,7 @@ transition; death at t+1 terminates the trajectory with bootstrap 0.
 from __future__ import annotations
 
 import functools
-from typing import Any, NamedTuple, Sequence
+from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -50,11 +64,12 @@ class Rollout(NamedTuple):
     next_alive: jax.Array   # bool [T, W, A]
 
 
-def _flat_obs(depth, health, pos, semantic, surrounding):
+def _flat_obs(depth, health, pos, semantic, surrounding, dtype=f32):
     """The 69-dim obs layout (util.py:23-28) from compact storage."""
     return jnp.concatenate([
-        depth.astype(f32), health[..., None].astype(f32), pos.astype(f32),
-        semantic.astype(f32), surrounding.astype(f32)], axis=-1)
+        depth.astype(dtype), health[..., None].astype(dtype),
+        pos.astype(dtype), semantic.astype(dtype),
+        surrounding.astype(dtype)], axis=-1)
 
 
 def make_ppo_optimizer(lr: float = 3e-4, max_grad_norm: float = 0.5
@@ -71,7 +86,8 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
                      gamma: float = 0.99, gae_lambda: float = 0.95,
                      vf_coef: float = 0.5, ent_coef: float = 0.01,
                      lr: float = 3e-4, max_grad_norm: float = 0.5,
-                     use_pallas: bool = False, optimizer=None):
+                     use_pallas: bool = False, optimizer=None,
+                     compute_dtype=None):
     """Returns (ppo_iteration, optimizer).
 
     ppo_iteration(state, train_states, key) -> (state, train_states, metrics)
@@ -82,8 +98,20 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
         optimizer = make_ppo_optimizer(lr, max_grad_norm)
     NS = cfg.num_species
     T = rollout_len
+    cd = compute_dtype
 
-    def policy_step(state: WorldState, key):
+    def _cast(tree):
+        if cd is None:
+            return tree
+        return jax.tree.map(lambda x: x.astype(cd), tree)
+
+    def _fwd(s, params, obs, mem):
+        logits, v, h = models[s].forward(
+            _cast(params), obs if cd is None else obs.astype(cd),
+            mem if cd is None else mem.astype(cd))
+        return logits.astype(f32), v.astype(f32), h.astype(f32)
+
+    def policy_step(params_list, state: WorldState, key):
         """Sample actions for every species; returns [W, A]-shaped records.
 
         Slots are species-class partitioned (SPEC D2b), so each species'
@@ -93,7 +121,8 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
         Asub = A // NS
         Nc = W * Asub
         obs = _flat_obs(state.sensor_depth, state.health, state.pos,
-                        state.sensor_semantic, state.surrounding)
+                        state.sensor_semantic, state.surrounding,
+                        f32 if cd is None else cd)
         D = obs.shape[-1]
         H = state.hidden.shape[-1]
         obs4 = obs.reshape(W, Asub, NS, D)
@@ -103,9 +132,9 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
         a_c, lp_c, v_c, h_c = [], [], [], []
         for s in range(NS):
             m = (alive3[:, :, s] & (sp3[:, :, s] == s + 1)).reshape(Nc)
-            logits, v, h = models[s].forward(
-                tstates_params[s], obs4[:, :, s].reshape(Nc, D),
-                mem4[:, :, s].reshape(Nc, H))
+            logits, v, h = _fwd(s, params_list[s],
+                                obs4[:, :, s].reshape(Nc, D),
+                                mem4[:, :, s].reshape(Nc, H))
             a = jax.random.categorical(jax.random.fold_in(key, s), logits)
             lsm = jax.nn.log_softmax(logits, -1)
             lp = jnp.sum(lsm * jax.nn.one_hot(a, lsm.shape[-1],
@@ -120,21 +149,17 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
         new_hidden = jnp.stack(h_c, axis=2).reshape(state.hidden.shape)
         return action, logp, value, new_hidden
 
-    # NOTE: models[s].forward needs params; we close over a mutable cell that
-    # the scan body reads — set per call in ppo_iteration via nonlocal.
-    tstates_params: Any = None
-
     @functools.partial(jax.jit, donate_argnums=(0,))
     def ppo_iteration(state: WorldState, train_states, key):
-        nonlocal tstates_params
-        tstates_params = [ts.params for ts in train_states]
+        params_list = [ts.params for ts in train_states]
         W, A = state.alive.shape
 
         def env_body(carry, t):
             state, key = carry
             key, k_act = jax.random.split(key)
             mem_in = state.hidden
-            action, logp, value, new_hidden = policy_step(state, k_act)
+            action, logp, value, new_hidden = policy_step(params_list, state,
+                                                          k_act)
             onehot = jax.nn.one_hot(action, NUM_ACTIONS, dtype=jnp.int32)
             rec_pre = dict(
                 depth=state.sensor_depth, semantic=state.sensor_semantic,
@@ -156,7 +181,8 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
                                           jnp.arange(T))
 
         # Bootstrap values at T with the current policy.
-        _, _, last_value, _ = policy_step(state, jax.random.fold_in(key, 999))
+        _, _, last_value, _ = policy_step(params_list, state,
+                                          jax.random.fold_in(key, 999))
         last_value = last_value.reshape(W, A)
 
         # GAE over the scan axis; continuing env (no resets, quirk Q7), agent
@@ -185,34 +211,36 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
         assert B % num_minibatches == 0
         mb = B // num_minibatches
 
+        # Per-iteration row-axis roll: changes each row's stride class
+        # between PPO iterations (see module docstring).
+        roll_off = jax.random.randint(jax.random.fold_in(key, 777), (), 0, B)
+
         def update_species(s, ts):
             obs_all = _flat_obs(fl(roll.depth, s), fl(roll.health, s),
                                 fl(roll.pos, s), fl(roll.semantic, s),
-                                fl(roll.surrounding, s))
-            mem_all = fl(roll.memory, s)
-            act_all = fl(roll.action, s).astype(jnp.int32)
-            logp_all = fl(roll.logp, s)
-            adv_all = fl(advantages, s)
-            ret_all = fl(returns, s)
-            val_all = fl(roll.value, s)
+                                fl(roll.surrounding, s),
+                                f32 if cd is None else cd)
             mask_sp = fl(roll.alive, s) & (fl(roll.species, s) == s + 1)
+            reward_total = jnp.sum(fl(roll.reward, s) * mask_sp)
+            count_total = mask_sp.sum()
 
-            def loss_fn(params, pick):
-                o = pick(obs_all)
-                m = pick(mem_all)
-                a = pick(act_all)
-                lp_old = pick(logp_all)
-                adv = pick(adv_all)
-                ret = pick(ret_all)
-                vold = pick(val_all)
-                w = pick(mask_sp).astype(f32)
+            bufs = tuple(
+                jnp.roll(x, roll_off, axis=0)
+                for x in (obs_all, fl(roll.memory, s),
+                          fl(roll.action, s).astype(jnp.int32),
+                          fl(roll.logp, s), fl(advantages, s),
+                          fl(returns, s), fl(roll.value, s), mask_sp))
+
+            def loss_fn(params, picked):
+                o, m, a, lp_old, adv, ret, vold, msk = picked
+                w = msk.astype(f32)
                 denom = jnp.maximum(w.sum(), 1.0)
                 # normalize advantages over the species minibatch
                 mu = jnp.sum(adv * w) / denom
                 var = jnp.sum((adv - mu) ** 2 * w) / denom
                 adv_n = (adv - mu) * jax.lax.rsqrt(var + 1e-8)
 
-                logits, v, _ = models[s].forward(params, o, m)
+                logits, v, _ = _fwd(s, params, o, m)
                 lsm_new = jax.nn.log_softmax(logits, -1)
                 logp_new = jnp.sum(
                     lsm_new * jax.nn.one_hot(a, lsm_new.shape[-1],
@@ -232,19 +260,18 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
                               jnp.sum(ent * w) / denom)
 
             def epoch_body(ts, e):
-                # Strided minibatch partition instead of a random permutation:
-                # TPU serializes million-row gathers, while minibatch c =
-                # rows congruent to c (mod num_minibatches) is a plain
-                # strided slice. Rows are laid out [T, W, Asub], so each
-                # stride-class mixes timesteps and worlds; epochs reuse the
-                # same partition (a documented trade for gather-free updates).
                 def mb_body(ts, i):
+                    # Epoch e visits stride class (i + e) % M.
+                    cls = (i + e) % num_minibatches
+
                     def pick(x):
                         return jax.lax.dynamic_index_in_dim(
                             x.reshape((mb, num_minibatches) + x.shape[1:]),
-                            i, axis=1, keepdims=False)
+                            cls, axis=1, keepdims=False)
+
+                    picked = tuple(pick(x) for x in bufs)
                     (loss, aux), grads = jax.value_and_grad(
-                        loss_fn, has_aux=True)(ts.params, pick)
+                        loss_fn, has_aux=True)(ts.params, picked)
                     updates, opt = optimizer.update(grads, ts.opt_state,
                                                     ts.params)
                     return SpeciesTrainState(
@@ -260,8 +287,8 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
             return ts, {
                 "loss": loss.mean(), "pg_loss": pg.mean(),
                 "v_loss": vl.mean(), "entropy": ent.mean(),
-                "count": mask_sp.sum() / T,
-                "reward": jnp.sum(fl(roll.reward, s) * mask_sp) / T,
+                "count": count_total / T,
+                "reward": reward_total / T,
             }
 
         new_ts = []

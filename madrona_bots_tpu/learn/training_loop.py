@@ -121,6 +121,8 @@ def train(args):
     key = jax.random.key(args.seed + 1)
 
     tpb = max(1, args.ticks_per_block)
+    NSp = args.num_species
+    best_metric_names = ("actor_loss", "critic_loss", "total_loss")
     if tpb > 1:
         # Amortize host sync: scan tpb ticks per device roundtrip; per-tick
         # metrics still stream out (stacked along the scan axis).
@@ -131,19 +133,46 @@ def train(args):
         # fetching ~30 small arrays separately costs seconds per block.
         metric_keys = sorted(jax.eval_shape(
             tick, state, tstates, jax.random.key(0))[2].keys())
+        # On-device best tracking: the reference saves the IMPROVING epoch's
+        # params (training_loop.py:121-133); per-tick params never reach the
+        # host in block mode, so snapshot them inside the scan whenever a
+        # tracked metric improves, and save the snapshots at block end.
+        have_best = all(f"species_1_{m}" in metric_keys
+                        for m in best_metric_names)
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def block(state, tstates, key):
-            def body(carry, _):
-                s, ts, k = carry
+        def block(state, tstates, key, best_vals):
+            snaps0 = tuple(tuple(jax.tree.map(jnp.copy, ts) for ts in tstates)
+                           for _ in best_metric_names)
+            best_idx0 = jnp.full((len(best_metric_names), NSp), -1, jnp.int32)
+
+            def body(carry, i):
+                s, ts, k, bv, snaps, bidx = carry
                 k, sub = jax.random.split(k)
                 s, ts, m = tick(s, ts, sub)
-                return (s, ts, k), m
-            (state, tstates, _), ms = jax.lax.scan(
-                body, (state, tstates, key), None, length=tpb)
+                if have_best:
+                    new_snaps = []
+                    for mi, mn in enumerate(best_metric_names):
+                        row = []
+                        for sp in range(NSp):
+                            v = m[f"species_{sp+1}_{mn}"].astype(jnp.float32)
+                            better = v < bv[mi, sp]
+                            bv = bv.at[mi, sp].set(jnp.where(better, v, bv[mi, sp]))
+                            bidx = bidx.at[mi, sp].set(
+                                jnp.where(better, i, bidx[mi, sp]))
+                            row.append(jax.tree.map(
+                                lambda a, b: jnp.where(better, a, b),
+                                ts[sp], snaps[mi][sp]))
+                        new_snaps.append(tuple(row))
+                    snaps = tuple(new_snaps)
+                return (s, ts, k, bv, snaps, bidx), m
+
+            (state, tstates, _, bv, snaps, bidx), ms = jax.lax.scan(
+                body, (state, tstates, key, best_vals, snaps0, best_idx0),
+                jnp.arange(tpb))
             stacked = jnp.stack(
                 [ms[k].astype(jnp.float32) for k in metric_keys], axis=1)
-            return state, tstates, stacked
+            return state, tstates, stacked, bv, snaps, bidx
 
     best = {m: [float("inf")] * args.num_species
             for m in ("actor_loss", "critic_loss", "total_loss")}
@@ -151,17 +180,16 @@ def train(args):
 
     def handle_epoch(rel_epoch, host_metrics, dt, save: bool = True,
                      track_best: bool = True):
-        """Log one epoch; with save=False best-metric bookkeeping still runs
-        but file writes are deferred (block mode saves once per block —
-        per-epoch saves would dominate wall time when the reference's
-        unbounded raw-logit actor loss 'improves' every tick)."""
+        """Log one epoch; with track_best=False (block mode) only logging
+        runs here — best-metric tracking and the improving-tick param
+        snapshots happen ON DEVICE inside the scanned block, and the files
+        are written once per block from those snapshots."""
         if rel_epoch % args.print_freq == 0 or rel_epoch == 1:
             print("Relative Epoch ", rel_epoch)
         host_metrics["epoch_fps"] = args.num_worlds / dt
-        improved = []
         if not track_best:
             logger.log(host_metrics)
-            return improved
+            return
         for sp in range(args.num_species):
             epoch = start_epochs[sp] + rel_epoch
             host_metrics[f"species_{sp+1}_learning_rate"] = args.lr
@@ -170,7 +198,7 @@ def train(args):
                 ckpt.save(models[sp], tstates[sp].params, tstates[sp].opt_state,
                           f"species_{sp+1}", epoch, metric_name="latest",
                           verbose=args.verbose)
-            for metric in ("actor_loss", "critic_loss", "total_loss"):
+            for metric in best_metric_names:
                 v = host_metrics.get(f"species_{sp+1}_{metric}")
                 if v is None:  # PPO uses its own metric names
                     continue
@@ -181,10 +209,7 @@ def train(args):
                                   tstates[sp].opt_state, f"species_{sp+1}",
                                   epoch, metric_name=metric,
                                   verbose=args.verbose)
-                    else:
-                        improved.append((sp, metric, epoch))
         logger.log(host_metrics)
-        return improved
 
     if tpb == 1:
         for rel_epoch in range(1, args.num_epochs + 1):
@@ -199,33 +224,44 @@ def train(args):
     else:
         rel_epoch = 0
         while rel_epoch < args.num_epochs:
+            block_start = rel_epoch
             t0 = time.time()
             key, sub = jax.random.split(key)
-            state, tstates, ms = block(state, tstates, sub)
+            best_vals_in = jnp.asarray(
+                [[best[m][sp] for sp in range(args.num_species)]
+                 for m in best_metric_names], jnp.float32)
+            state, tstates, ms, bv, snaps, bidx = block(
+                state, tstates, sub, best_vals_in)
             host_stack = np.asarray(ms)          # one [tpb, M] transfer
             dt = (time.time() - t0) / tpb
-            improved = set()
             for j in range(tpb):
                 rel_epoch += 1
                 time_values.append(dt)
-                is_block_end = (j == tpb - 1) or (rel_epoch >= args.num_epochs)
-                improved.update(handle_epoch(
+                handle_epoch(
                     rel_epoch,
                     dict(zip(metric_keys, host_stack[j].tolist())), dt,
-                    save=False, track_best=is_block_end))
+                    track_best=False)
                 if rel_epoch >= args.num_epochs:
                     break
-            # One save pass per block: latest + any bests that improved.
+            # One save pass per block: latest (end-of-block params) + any
+            # best that improved, from its improving-tick device snapshot.
             for sp in range(args.num_species):
-                epoch = start_epochs[sp] + rel_epoch
                 ckpt.save(models[sp], tstates[sp].params, tstates[sp].opt_state,
-                          f"species_{sp+1}", epoch, metric_name="latest",
-                          verbose=args.verbose)
-            for sp, metric, _ in sorted({(s, m, 0) for s, m, _ in improved}):
-                epoch = start_epochs[sp] + rel_epoch
-                ckpt.save(models[sp], tstates[sp].params, tstates[sp].opt_state,
-                          f"species_{sp+1}", epoch, metric_name=metric,
-                          verbose=args.verbose)
+                          f"species_{sp+1}", start_epochs[sp] + rel_epoch,
+                          metric_name="latest", verbose=args.verbose)
+            if have_best:
+                bv_h = np.asarray(bv)
+                bidx_h = np.asarray(bidx)
+                for mi, metric in enumerate(best_metric_names):
+                    for sp in range(args.num_species):
+                        if bv_h[mi, sp] < best[metric][sp]:
+                            best[metric][sp] = float(bv_h[mi, sp])
+                            epoch = (start_epochs[sp] + block_start
+                                     + int(bidx_h[mi, sp]) + 1)
+                            snap = snaps[mi][sp]
+                            ckpt.save(models[sp], snap.params, snap.opt_state,
+                                      f"species_{sp+1}", epoch,
+                                      metric_name=metric, verbose=args.verbose)
 
     if time_values:
         avg = (float(np.mean(time_values[1:])) if len(time_values) > 1

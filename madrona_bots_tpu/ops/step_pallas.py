@@ -61,6 +61,17 @@ def _lane_cumsum(x: jax.Array, A: int) -> jax.Array:
     return x
 
 
+def _lane_prefix_or_excl(x: jax.Array, A: int) -> jax.Array:
+    """Exclusive prefix-OR along lanes: out[i] = OR of x[j] for j < i."""
+    lane = jax.lax.broadcasted_iota(i32, x.shape, 1)
+    y = jnp.where(lane >= 1, pltpu.roll(x, 1, 1), 0)
+    shift = 1
+    while shift < A:
+        y = y | jnp.where(lane >= shift, pltpu.roll(y, shift, 1), 0)
+        shift *= 2
+    return y
+
+
 def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
             posy_ref, speedq_ref, cidx_ref, cell_ref, linp_ref, xi_ref,
             yi_ref, food_ref, drawx_ref, drawy_ref,
@@ -94,7 +105,8 @@ def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
     ta = g & 7                                            # target alive 0/1
     ts = g >> 3                                           # target species
 
-    valid_shot = shot_pre * ta
+    # Quirk D1 (stale finder handle): drop the target-alive requirement.
+    valid_shot = shot_pre if cfg.quirk_d1_stale_finder else shot_pre * ta
     hf_ref[...] = valid_shot * (ts == species)
     he_ref[...] = valid_shot * (ts != species)
 
@@ -107,44 +119,61 @@ def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
     health1 = health0 - jnp.where(alive0 > 0, cfg.shoot_damage * dmg, 0)
 
     # ---- per-agent food-package payload gather (chunk-indexed) ----
-    # food_ref: [wb, P, C] packed has + 2*(cellx + chunk_width*celly).
-    food = food_ref[...]                                  # [wb, P, C]
-    gath = [jnp.zeros((wb, A), i32) for _ in range(P)]
+    # food_ref: [wb, 2, C]; channel 0 packs packages 0-2 (10 bits each:
+    # has + 2*(cellx + chunk_width*celly)), channel 1 packs packages 3-4.
+    food = food_ref[...]                                  # [wb, 2, C]
+    g012 = jnp.zeros((wb, A), i32)
+    g34 = jnp.zeros((wb, A), i32)
     for c in range(C):
         m = cidx == c
-        for p in range(P):
-            gath[p] = jnp.where(m, _col(food[:, p, :], c), gath[p])
+        g012 = jnp.where(m, _col(food[:, 0, :], c), g012)
+        g34 = jnp.where(m, _col(food[:, 1, :], c), g34)
+    gath = [(g012 >> (10 * p)) & 1023 for p in range(min(P, 3))]
+    gath += [(g34 >> (10 * (p - 3))) & 1023 for p in range(3, P)]
 
     # ---- eat: packages in order, lowest slot wins per chunk ----
+    # "Lowest contender slot wins" == "first contender along the lane scan
+    # wins": one exclusive prefix-OR over chunk-bit-packed contender masks
+    # replaces the per-chunk min reductions (carry-free — each chunk is one
+    # bit; winners are unique per chunk so a lane SUM of winner bits is
+    # exactly the consumed-bit OR).
     cell = cell_ref[...]                                  # cellx + cw*celly
+    in_lo = cidx < 32
+    sh_lo = jnp.clip(cidx, 0, 31)
+    sh_hi = jnp.clip(cidx - 32, 0, 31)
+    bit_lo = jnp.where(in_lo, jnp.left_shift(jnp.int32(1), sh_lo), 0)
+    bit_hi = jnp.where(~in_lo & (cidx >= 0),
+                       jnp.left_shift(jnp.int32(1), sh_hi), 0)
     eaten = jnp.zeros((wb, A), i32)
-    consumed = []
+    consumed = []                                         # [wb, 2] per pkg
     for p in range(P):
         has_p = gath[p] & 1
         cell_p = gath[p] >> 1
         contend = ((alive0 > 0) & (has_p > 0) & (eaten == 0)
                    & (cell == cell_p))
-        key = jnp.where(contend, lane, BIG)
-        winner_cols = []
-        winner_here = jnp.full((wb, A), BIG, i32)
-        for c in range(C):
-            m = cidx == c
-            k_c = jnp.min(jnp.where(m, key, BIG), axis=1, keepdims=True)
-            winner_cols.append(k_c)
-            winner_here = jnp.where(m, k_c, winner_here)
-        is_winner = contend & (lane == winner_here)
+        enc_lo = jnp.where(contend, bit_lo, 0)
+        enc_hi = jnp.where(contend, bit_hi, 0)
+        pre_lo = _lane_prefix_or_excl(enc_lo, A)
+        pre_hi = _lane_prefix_or_excl(enc_hi, A)
+        taken_before = jnp.where(
+            in_lo, jnp.right_shift(pre_lo, sh_lo),
+            jnp.right_shift(pre_hi, sh_hi)) & 1
+        is_winner = contend & (taken_before == 0)
         eaten = eaten | is_winner.astype(i32)
-        consumed.append(
-            (jnp.concatenate(winner_cols, axis=1) < BIG).astype(i32))
-    consumed_ref[...] = jnp.stack(consumed, axis=1)       # [wb, P, C]
+        consumed.append(jnp.concatenate([
+            jnp.sum(jnp.where(is_winner, enc_lo, 0), axis=1, keepdims=True),
+            jnp.sum(jnp.where(is_winner, enc_hi, 0), axis=1, keepdims=True),
+        ], axis=1))
+    consumed_ref[...] = jnp.stack(consumed, axis=1)       # [wb, P, 2]
     eaten_ref[...] = eaten
 
     health2 = health1 + cfg.eat_health * eaten
 
     # ---- breed eligibility (post-eat health, sim.cpp:547-569) ----
+    ta_ok = (ta >= 0) if cfg.quirk_d1_stale_finder else (ta > 0)
     breeder = ((act_breed > 0) & (alive0 > 0)
                & (health2 > cfg.breed_min_health) & (finder >= 0)
-               & (ta > 0) & (ts == species)).astype(i32)
+               & ta_ok & (ts == species)).astype(i32)
     breeder_ref[...] = breeder
     health3 = health2 - cfg.breed_cost * breeder
     died = (alive0 > 0) & (health3 <= 0)
@@ -259,19 +288,23 @@ def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
 @partial(jax.jit, static_argnames=("cfg", "worlds_per_block", "interpret"))
 def systems_pallas(flags, species, finder, health, posx, posy, speedq, cidx,
                    cell, linp, xi, yi, food_packed, drawx, drawy,
-                   cfg: EnvConfig, worlds_per_block: int = 8,
+                   cfg: EnvConfig, worlds_per_block: int = 32,
                    interpret: bool = False):
     """Run the fused systems kernel; see _kernel for per-ref semantics."""
     W, A = flags.shape
     C, P, NS = cfg.num_chunks, cfg.max_food_packages, cfg.num_species
     assert NS <= 4 and A // NS < 256, "byte-packed rank cumsum bounds"
-    assert C < 63, "6-bit corner packing bound"
+    assert C < 63, "6-bit corner / 2x32 chunk-bit packing bounds"
+    assert P <= 6, "food packages pack 3 + 3 into two 30-bit channels"
+    assert 2 * cfg.chunk_width * cfg.chunk_width + 1 < 1024, \
+        "food cell id must fit 10 bits"
     wb = min(worlds_per_block, W)
     while W % wb != 0:
         wb -= 1
 
     sA = pl.BlockSpec((wb, A), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    sPC = pl.BlockSpec((wb, P, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    sFC = pl.BlockSpec((wb, 2, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    sP2 = pl.BlockSpec((wb, P, 2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     sD = pl.BlockSpec((wb, NS * cfg.respawn_floor), lambda i: (i, 0),
                       memory_space=pltpu.VMEM)
     sNS = pl.BlockSpec((wb, NS), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -284,13 +317,13 @@ def systems_pallas(flags, species, finder, health, posx, posy, speedq, cidx,
                  fA, fA,                          # surrp surrm
                  jax.ShapeDtypeStruct((W, NS), i32),
                  jax.ShapeDtypeStruct((W, NS), i32),
-                 jax.ShapeDtypeStruct((W, P, C), i32))
-    out_specs = tuple([sA] * 15 + [sNS, sNS, sPC])
+                 jax.ShapeDtypeStruct((W, P, 2), i32))
+    out_specs = tuple([sA] * 15 + [sNS, sNS, sP2])
 
     return pl.pallas_call(
         partial(_kernel, cfg=cfg),
         grid=(W // wb,),
-        in_specs=[sA] * 12 + [sPC, sD, sD],
+        in_specs=[sA] * 12 + [sFC, sD, sD],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
@@ -376,9 +409,15 @@ def fused_step_systems(state, cfg: EnvConfig, interpret: bool = False):
     flags = (alive0.astype(i32)
              + 2 * (act[..., ACTION_SHOOT] & alive0 & (state.finder >= 0)).astype(i32)
              + 4 * act[..., ACTION_BREED].astype(i32))
-    food_packed = jnp.transpose(
-        (food_count > 0).astype(i32)
-        + 2 * (food_cell[..., 0] + cw * food_cell[..., 1]), (0, 2, 1))
+    # Per-package 10-bit payloads, packed 3 + 3 into two [W, C] channels.
+    P = cfg.max_food_packages
+    pkg10 = ((food_count > 0).astype(i32)
+             + 2 * (food_cell[..., 0] + cw * food_cell[..., 1]))  # [W, C, P]
+    ch0 = sum(pkg10[:, :, p] << (10 * p) for p in range(min(P, 3)))
+    ch1 = sum(pkg10[:, :, p] << (10 * (p - 3)) for p in range(3, P))
+    if not isinstance(ch1, jax.Array):                    # P <= 3
+        ch1 = jnp.zeros_like(ch0)
+    food_packed = jnp.stack([ch0, ch1], axis=1)           # [W, 2, C]
 
     draws = systems.respawn_draws(state.world_keys, t, cfg)  # [W, NS, FL, 2]
     drawx = draws[..., 0].reshape(W, NS * FL)
@@ -436,10 +475,17 @@ def fused_step_systems(state, cfg: EnvConfig, interpret: bool = False):
     reward = systems.reward_system(species, health, alive, rewards, stats,
                                    pos, cfg)
 
-    # Food updates from the kernel's per-package consumption map.
-    consumed_cp = jnp.transpose(consumed, (0, 2, 1))      # [W, C, P]
+    # Food updates: consumed is chunk-bit packed [W, P, 2] (bit c % 32 of
+    # channel c // 32); expand to the [W, C, P] map.
+    C = cfg.num_chunks
+    carange = jnp.arange(C, dtype=i32)
+    lo = (consumed[:, :, 0][:, None, :]
+          >> jnp.clip(carange, 0, 31)[None, :, None]) & 1
+    hi = (consumed[:, :, 1][:, None, :]
+          >> jnp.clip(carange - 32, 0, 31)[None, :, None]) & 1
+    consumed_cp = jnp.where((carange < 32)[None, :, None], lo, hi)  # [W, C, P]
     food_count = jnp.where(consumed_cp > 0, 0, food_count)
-    num_food = num_food - jnp.sum(consumed, axis=(1, 2))
+    num_food = num_food - jnp.sum(consumed_cp, axis=(1, 2))
 
     keep = (alive & ~new_mask)[..., None]
     prev_sensor_depth = jnp.where(keep, state.sensor_depth, 0).astype(jnp.uint8)

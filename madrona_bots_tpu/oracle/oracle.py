@@ -158,7 +158,8 @@ class OracleWorld:
             if not alive0[a]:
                 continue
             tgt = int(self.finder[a])
-            if act[a, ACTION_SHOOT] and tgt >= 0 and alive0[tgt]:
+            if (act[a, ACTION_SHOOT] and tgt >= 0
+                    and (alive0[tgt] or cfg.quirk_d1_stale_finder)):
                 damage[tgt] += cfg.shoot_damage
                 if self.species[tgt] == self.species[a]:
                     hit_friendly[a] = True
@@ -216,7 +217,8 @@ class OracleWorld:
                 continue
             tgt = int(self.finder[a])
             if (act[a, ACTION_BREED] and self.health[a] > cfg.breed_min_health
-                    and tgt >= 0 and alive0[tgt]
+                    and tgt >= 0
+                    and (alive0[tgt] or cfg.quirk_d1_stale_finder)
                     and self.species[tgt] == self.species[a]):
                 breeder[a] = True
                 self.health[a] -= cfg.breed_cost
@@ -407,7 +409,11 @@ def _bilinear(p, chunk_agents, chunk_speed, cfg: EnvConfig):
 
 def _reward(w: OracleWorld, a: int, st, sp_rewards, cfg: EnvConfig):
     setting = int(cfg.reward_setting)
-    base = np.float32(sp_rewards[w.species[a] - 1]
+    # Quirk D3: the reference reads rewards[speciesID] with speciesID 1..NS
+    # (OOB for NS, sim.cpp:943) — emulated as a clamped 0-based read.
+    sp_idx = (min(int(w.species[a]), cfg.num_species - 1)
+              if cfg.quirk_d3_oob_reward else w.species[a] - 1)
+    base = np.float32(sp_rewards[sp_idx]
                       + np.float32(w.health[a]) / np.float32(100.0)
                       - np.float32(0.5))
     hf, he, ate, rp = bool(st[0]), bool(st[1]), bool(st[2]), bool(st[3])
@@ -461,6 +467,9 @@ class Oracle:
             w.prev_reward = w.reward.copy()
             w.prev_action = w.action.copy()
             w.prev_stats = w.stats.copy()
+            if self.cfg.quirk_d4_shift_typo:
+                # sim.cpp:1034: prev.hitEnemy <- cur.hitFriendly
+                w.prev_stats[:, 1] = w.stats[:, 0]
             w.prev_hidden = w.hidden.copy()
 
     def field(self, name):
