@@ -156,10 +156,12 @@ class SimManager:
 
     def _gather(self, name: str, field: np.ndarray, dtype=None) -> Tensor:
         if name not in self._cache:
-            out = field.reshape((-1,) + field.shape[2:])[self._perm]
+            from madrona_bots_tpu.utils import native
+            out = native.gather_rows(
+                field.reshape((-1,) + field.shape[2:]), self._perm)
             if dtype is not None:
-                out = out.astype(dtype)
-            self._cache[name] = np.ascontiguousarray(out)
+                out = np.ascontiguousarray(out.astype(dtype))
+            self._cache[name] = out
         return Tensor(self._cache[name])
 
     def depth_tensor(self, is_prev: bool = False) -> Tensor:
@@ -263,26 +265,30 @@ class SimManager:
         """Scatter the persistent export buffers back into the padded state
         (the reference's exported-buffer write pattern: anything written into
         action/hidden tensors since the last step reaches the sim here)."""
+        from madrona_bots_tpu.utils import native
         W, A = self.cfg.num_worlds, self.cfg.max_agents
         n = self.total_num_agents
         if self._action_buf is not None:
             flat = np.zeros((W * A, NUM_ACTIONS), np.int32)
-            flat[self._perm] = self._action_buf[:n]
+            native.scatter_rows(self._action_buf[:n], self._perm, flat)
             self.state = self.state.replace(
                 action=jnp.asarray(flat.reshape(W, A, NUM_ACTIONS)))
         if self._hidden_buf is not None:
             flat = np.zeros((W * A, self.cfg.hidden_state_dim), np.float32)
-            flat[self._perm] = self._hidden_buf[:n]
+            native.scatter_rows(self._hidden_buf[:n], self._perm, flat)
             self.state = self.state.replace(
                 hidden=jnp.asarray(flat.reshape(W, A, self.cfg.hidden_state_dim)))
 
     def _refresh_exports(self):
         """Re-fill the persistent export buffers from the new state in the
         new export order, so tensors fetched once stay live across steps."""
+        from madrona_bots_tpu.utils import native
         n = self.total_num_agents
         if self._action_buf is not None:
-            self._action_buf[:n] = np.asarray(
-                self.state.action).reshape(-1, NUM_ACTIONS)[self._perm]
+            self._action_buf[:n] = native.gather_rows(
+                np.asarray(self.state.action).reshape(-1, NUM_ACTIONS),
+                self._perm)
         if self._hidden_buf is not None:
-            self._hidden_buf[:n] = np.asarray(self.state.hidden).reshape(
-                -1, self.cfg.hidden_state_dim)[self._perm]
+            self._hidden_buf[:n] = native.gather_rows(
+                np.asarray(self.state.hidden).reshape(
+                    -1, self.cfg.hidden_state_dim), self._perm)

@@ -146,21 +146,6 @@ def step(state: WorldState, cfg: EnvConfig, use_pallas: bool = False) -> WorldSt
     return sensor_pass(step_systems(state, cfg, use_pallas), cfg, use_pallas)
 
 
-@partial(jax.jit, static_argnames=("cfg", "use_pallas"))
-def init_and_sense(key: jax.Array, cfg: EnvConfig, use_pallas: bool = False) -> WorldState:
-    """Init graph + first sensor pass.
-
-    The reference runs only the Init graph at startup (mgr.cpp:159-160); the
-    first `step()` then shoots with an all-empty finder. We match that by
-    running the sensor pass here ONLY to fill `sensor_*` buffers lazily —
-    no: to stay faithful, finder starts at -1 and sensors at 0 (init_state),
-    so this helper exists for callers who want a warm first observation
-    (e.g. policies that read sensors before the first step). The parity
-    oracle and manager use plain `init_state`.
-    """
-    return sensor_pass(init_state(key, cfg), cfg, use_pallas)
-
-
 def shift_observations_impl(state: WorldState,
                             cfg: EnvConfig | None = None) -> WorldState:
     """The ShiftObservations graph (sim.cpp:1190-1220): cur -> prev for the

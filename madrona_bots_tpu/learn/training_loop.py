@@ -178,6 +178,17 @@ def train(args):
             for m in ("actor_loss", "critic_loss", "total_loss")}
     time_values = []
 
+    # Multi-host runs: params are replicated, so only the coordinator
+    # process writes checkpoints/metrics (parallel.distributed).
+    if jax.process_count() > 1:
+        from madrona_bots_tpu.parallel.distributed import is_coordinator
+        if not is_coordinator():
+            class _NullCkpt:
+                def save(self, *a, **k):
+                    pass
+            ckpt = _NullCkpt()
+            logger.log = lambda *a, **k: None
+
     def handle_epoch(rel_epoch, host_metrics, dt, save: bool = True,
                      track_best: bool = True):
         """Log one epoch; with track_best=False (block mode) only logging

@@ -44,20 +44,3 @@ def global_mesh():
 
 def is_coordinator() -> bool:
     return jax.process_index() == 0
-
-
-def worlds_for_host(total_worlds: int) -> int:
-    """Per-host world count for host-local state construction. State is
-    created sharded (jax.make_array_from_process_local_data) so no host ever
-    materializes the global batch."""
-    n = jax.process_count()
-    assert total_worlds % n == 0, (total_worlds, n)
-    return total_worlds // n
-
-
-def checkpoint_dir_for_host(base: str) -> str:
-    """Host-count-agnostic layout: params are replicated so only the
-    coordinator writes; per-host dirs exist for debugging dumps."""
-    if is_coordinator():
-        return base
-    return os.path.join(base, f"host_{jax.process_index()}")

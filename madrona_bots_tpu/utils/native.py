@@ -51,8 +51,57 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.mbots_inverse_perm.restype = None
     lib.mbots_inverse_perm.argtypes = [i32p, ctypes.c_int32, ctypes.c_int32,
                                        i32p]
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    for name, ptr in (("mbots_gather_f32", f32p), ("mbots_gather_i32", i32p),
+                      ("mbots_gather_u8", u8p)):
+        fn = getattr(lib, name)
+        fn.restype = None
+        fn.argtypes = [ptr, i32p, ctypes.c_int32, ctypes.c_int32, ptr]
+    for name, ptr in (("mbots_scatter_f32", f32p),
+                      ("mbots_scatter_i32", i32p)):
+        fn = getattr(lib, name)
+        fn.restype = None
+        fn.argtypes = [ptr, i32p, ctypes.c_int32, ctypes.c_int32, ptr]
     _lib = lib
     return _lib
+
+
+_GATHER_BY_DTYPE = {np.dtype(np.float32): "mbots_gather_f32",
+                    np.dtype(np.int32): "mbots_gather_i32",
+                    np.dtype(np.uint8): "mbots_gather_u8"}
+_SCATTER_BY_DTYPE = {np.dtype(np.float32): "mbots_scatter_f32",
+                     np.dtype(np.int32): "mbots_scatter_i32"}
+
+
+def gather_rows(src: np.ndarray, perm: np.ndarray) -> np.ndarray:
+    """out[r] = src[perm[r]] over flattened rows — the export gather
+    (mbots_gather_*), numpy fancy-indexing fallback."""
+    rows = src.reshape(src.shape[0], -1)
+    lib = _load()
+    name = _GATHER_BY_DTYPE.get(rows.dtype)
+    if lib is None or name is None:
+        return np.ascontiguousarray(src[perm])
+    rows_c = np.ascontiguousarray(rows)
+    perm_c = np.ascontiguousarray(perm.astype(np.int32))
+    out = np.empty((perm.size, rows.shape[1]), rows.dtype)
+    getattr(lib, name)(rows_c, perm_c, perm.size, rows.shape[1], out)
+    return out.reshape((perm.size,) + src.shape[1:])
+
+
+def scatter_rows(src: np.ndarray, perm: np.ndarray, dst: np.ndarray) -> None:
+    """dst[perm[r]] = src[r] in place — the write-back scatter
+    (mbots_scatter_*), numpy fallback."""
+    rows_dst = dst.reshape(dst.shape[0], -1)
+    lib = _load()
+    name = _SCATTER_BY_DTYPE.get(rows_dst.dtype)
+    if lib is None or name is None:
+        dst[perm] = src
+        return
+    rows_src = np.ascontiguousarray(src.reshape(src.shape[0], -1))
+    perm_c = np.ascontiguousarray(perm.astype(np.int32))
+    getattr(lib, name)(rows_src, perm_c, perm.size, rows_dst.shape[1],
+                       rows_dst)
 
 
 def native_available() -> bool:
