@@ -1,0 +1,94 @@
+"""Hardware kernel-parity harness (VERDICT r1 weak #4 / next-step 4).
+
+Runs BOTH Pallas kernels (raycast sensor + fused systems) against their jnp
+spec paths ON THE REAL TPU and writes a machine-checkable artifact with
+bit-level mismatch counts. This is the reproducible backing for the
+"bit-exact on hardware" claims: interpret-mode CPU tests cannot catch
+Mosaic-only behavior (layout bugs, precision of hardware transcendentals).
+
+Usage:  python artifacts/hw_kernel_parity.py  [worlds] [steps]
+Output: artifacts/HW_KERNEL_PARITY.json
+"""
+import json
+import sys
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/jax_cache")
+
+from madrona_bots_tpu.config import EnvConfig, NUM_ACTIONS
+from madrona_bots_tpu.env import env as env_mod
+from madrona_bots_tpu.env.raycast import raycast
+from madrona_bots_tpu.env.state import init_state
+from madrona_bots_tpu.ops.raycast_pallas import raycast_pallas
+
+
+def main():
+    W = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 12
+    cfg = EnvConfig(num_worlds=W, init_agents=32, max_agents=128)
+    platform = jax.devices()[0].platform
+    report = {"platform": platform, "worlds": W, "steps": steps,
+              "sensor": {}, "systems": {}}
+
+    # Evolve BOTH states with the PRODUCTION (kernel) path so they stay
+    # identical; at each step compare kernel outputs vs jnp spec outputs
+    # computed from the same pre-state.
+    state = init_state(jax.random.key(0), cfg)
+    key = jax.random.key(1)
+
+    sensor_mism = {"depth": 0, "semantic": 0, "finder": 0}
+    systems_exact = {}
+    surr_maxerr = 0.0
+
+    for t in range(steps):
+        key, k = jax.random.split(key)
+        a = jax.random.randint(k, (W, cfg.max_agents), 0, NUM_ACTIONS)
+        state = state.replace(action=jax.nn.one_hot(a, NUM_ACTIONS,
+                                                    dtype=jnp.int32))
+
+        # systems: kernel vs jnp from the same pre-state.
+        s_kern = env_mod.step_systems(state, cfg, use_pallas=True)
+        s_spec = env_mod.step_systems(jax.tree.map(jnp.copy, state), cfg)
+        for f in ["alive", "species", "health", "stats", "pos", "heading",
+                  "reward", "food_count", "num_food", "species_counts",
+                  "species_rewards"]:
+            n = int(jax.device_get(jnp.sum(
+                jnp.asarray(getattr(s_kern, f))
+                != jnp.asarray(getattr(s_spec, f)))))
+            systems_exact[f] = systems_exact.get(f, 0) + n
+        surr_maxerr = max(surr_maxerr, float(jax.device_get(jnp.max(jnp.abs(
+            s_kern.surrounding - s_spec.surrounding)))))
+
+        # sensor: kernel vs jnp on the post-systems state.
+        d_k, m_k, f_k = raycast_pallas(s_kern.pos, s_kern.heading,
+                                       s_kern.alive, s_kern.species, cfg)
+        d_j, m_j, f_j = raycast(s_kern.pos, s_kern.heading, s_kern.alive,
+                                s_kern.species, cfg)
+        sensor_mism["depth"] += int(jax.device_get(jnp.sum(d_k != d_j)))
+        sensor_mism["semantic"] += int(jax.device_get(jnp.sum(m_k != m_j)))
+        sensor_mism["finder"] += int(jax.device_get(jnp.sum(f_k != f_j)))
+
+        # advance with the kernel sensor (production trajectory)
+        state = s_kern.replace(sensor_depth=d_k, sensor_semantic=m_k,
+                               finder=f_k)
+
+    total = W * cfg.max_agents * cfg.sensor_size * steps
+    report["sensor"] = {**sensor_mism, "elements_compared": total,
+                        "bit_exact": all(v == 0 for v in sensor_mism.values())}
+    report["systems"] = {
+        "mismatches_by_field": systems_exact,
+        "bit_exact_int_and_pos": all(v == 0 for v in systems_exact.values()),
+        "surrounding_max_abs_err": surr_maxerr,
+    }
+    out = "/root/repo/artifacts/HW_KERNEL_PARITY.json"
+    with open(out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

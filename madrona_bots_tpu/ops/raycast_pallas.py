@@ -97,22 +97,25 @@ def _kernel(posx_ref, posy_ref, heading_ref, alive_ref, offs_ref,
             # select instead of two [S, A] mask ops.
             q = jnp.where(ok, r2 - oc2, -_INF)                   # [1, A]
 
-            # Sensor fan: [S, A]. `closer` folds validity directly (a lane
-            # rejected by disc/near can never win the running min) — no
-            # select-to-INF materialization.
+            # Sensor fan: [S, A]. Validity (disc >= 0, t > near) folds into
+            # a single select-to-INF, so the winner test is ONE compare.
+            # (The semantic carry stays int32: Mosaic cannot relayout an
+            # f32-compare mask to the int8 select tiling.)
             t_c = cos_a[w] * ocx + sin_a[w] * ocy
             disc = t_c * t_c + q
             t_hit = t_c - jnp.sqrt(jnp.maximum(disc, 0.0))
-            closer = ((disc >= 0) & (t_hit > near)) & (t_hit < t_min[w])
-            new_t.append(jnp.where(closer, t_hit, t_min[w]))
+            thit_v = jnp.where((disc >= 0) & (t_hit > near), t_hit, _INF)
+            closer = thit_v < t_min[w]
+            new_t.append(jnp.minimum(thit_v, t_min[w]))
             new_sem.append(jnp.where(closer, t_species, sem_min[w]))
 
             # Crosshair (finder) ray: [1, A].
             ft_c = cos_h[w] * ocx + sin_h[w] * ocy
             fdisc = ft_c * ft_c + q
             ft = ft_c - jnp.sqrt(jnp.maximum(fdisc, 0.0))
-            fcloser = ((fdisc >= 0) & (ft > near)) & (ft < f_min[w])
-            new_f.append(jnp.where(fcloser, ft, f_min[w]))
+            ft_v = jnp.where((fdisc >= 0) & (ft > near), ft, _INF)
+            fcloser = ft_v < f_min[w]
+            new_f.append(jnp.minimum(ft_v, f_min[w]))
             new_fa.append(jnp.where(fcloser, slot, f_arg[w]))
         return tuple(new_t), tuple(new_sem), tuple(new_f), tuple(new_fa)
 
@@ -182,15 +185,22 @@ def raycast_pallas(pos, heading, alive, species, cfg: EnvConfig,
 
     # Rank-compact the alive slots (ascending, one-hot scatter over the rank
     # axis — no dynamic-index scatter): compact[w, r] = slot of the r-th
-    # alive agent, 0-padded. Same idiom as env.systems.claim_slots'
-    # slot_of_rank, incl. the HIGHEST-precision dot path (TPU's default
-    # matmul precision would truncate slot ids > 256 to bfloat16).
-    from madrona_bots_tpu.env.systems import _EXACT, onehot_mask
+    # alive agent, 0-padded. bf16 operands halve the [W, A, A] mask traffic
+    # and stay exact: the one-hot is 0/1, slot ids < 256 are representable,
+    # and each sum has at most one nonzero term accumulated in f32.
+    from madrona_bots_tpu.env.systems import onehot_mask
     rank = jnp.cumsum(alive_i, axis=1) - 1                       # [W, A]
     rank_oh = onehot_mask(jnp.where(alive, rank, -1), A)         # [W, A, R]
-    compact = jnp.einsum("war,a->wr", rank_oh.astype(jnp.float32),
-                         jnp.arange(A, dtype=jnp.float32),
-                         precision=_EXACT).astype(jnp.int32)
+    if A <= 256:  # slot ids exactly representable in bf16
+        compact = jnp.einsum(
+            "war,a->wr", rank_oh.astype(jnp.bfloat16),
+            jnp.arange(A, dtype=jnp.bfloat16),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+    else:
+        compact = jnp.einsum(
+            "war,a->wr", rank_oh.astype(jnp.float32),
+            jnp.arange(A, dtype=jnp.float32),
+            precision=jax.lax.Precision.HIGHEST).astype(jnp.int32)
     num_alive = jnp.sum(alive_i, axis=1, keepdims=True)          # [W, 1]
 
     in_spec = pl.BlockSpec((wb, A), lambda i: (i, 0), memory_space=pltpu.VMEM)

@@ -20,8 +20,17 @@ INT_FIELDS = ["alive", "species", "health", "stats", "food_count", "food_cell",
               "species_counts", "finder", "sensor_depth", "sensor_semantic",
               "prev_sensor_depth", "prev_sensor_semantic", "action",
               "prev_species", "prev_health", "prev_action", "prev_stats"]
-FLOAT_FIELDS = ["pos", "heading", "surrounding", "reward", "species_rewards",
-                "prev_pos", "prev_surrounding", "prev_reward", "prev_hidden"]
+# Floats that are BIT-EXACT vs the oracle (positions/heading evolve through
+# single IEEE ops; the oracle routes scalar trig through XLA to match ulps).
+EXACT_FLOAT_FIELDS = ["pos", "heading", "prev_pos", "prev_hidden"]
+# Residual reassociation deviations, enumerated in SPEC.md D10 with their
+# measured ulp-level bounds: surrounding (fused-weight einsum vs the
+# 4-corner FMA chain, <= 1e-6 abs) and the reward expressions (XLA fusion
+# of the add/divide chain, <= 3e-7 abs).
+TOL_FLOAT_FIELDS = {"surrounding": 1e-5, "reward": 1e-5,
+                    "species_rewards": 1e-5, "prev_surrounding": 1e-5,
+                    "prev_reward": 1e-5}
+FLOAT_FIELDS = EXACT_FLOAT_FIELDS + list(TOL_FLOAT_FIELDS)
 
 
 def random_actions(rng, W, A):
@@ -56,11 +65,14 @@ def test_trajectory_parity(seed):
             assert mism.size == 0, (
                 f"step {t} field {f}: {mism.shape[0]} mismatches, first at "
                 f"{mism[0]}: env={env_v[tuple(mism[0])]} oracle={orc_v[tuple(mism[0])]}")
-        for f in FLOAT_FIELDS:
-            env_v = np.asarray(getattr(state, f))
-            orc_v = oracle.field(f)
-            np.testing.assert_allclose(env_v, orc_v, rtol=1e-5, atol=1e-4,
-                                       err_msg=f"step {t} field {f}")
+        for f in EXACT_FLOAT_FIELDS:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(state, f)), oracle.field(f),
+                err_msg=f"step {t} field {f} (expected bit-exact)")
+        for f, atol in TOL_FLOAT_FIELDS.items():
+            np.testing.assert_allclose(
+                np.asarray(getattr(state, f)), oracle.field(f),
+                rtol=1e-6, atol=atol, err_msg=f"step {t} field {f}")
 
 
 def test_env_determinism():
@@ -133,10 +145,14 @@ def test_trajectory_parity_directed(pattern):
             assert mism.size == 0, (
                 f"{pattern} step {t} field {f}: first mismatch {mism[0]}: "
                 f"env={env_v[tuple(mism[0])]} oracle={orc_v[tuple(mism[0])]}")
-        for f in FLOAT_FIELDS:
+        for f in EXACT_FLOAT_FIELDS:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(state, f)), oracle.field(f),
+                err_msg=f"{pattern} step {t} field {f} (expected bit-exact)")
+        for f, atol in TOL_FLOAT_FIELDS.items():
             np.testing.assert_allclose(
                 np.asarray(getattr(state, f)), oracle.field(f),
-                rtol=1e-5, atol=1e-4, err_msg=f"{pattern} step {t} field {f}")
+                rtol=1e-6, atol=atol, err_msg=f"{pattern} step {t} field {f}")
 
 
 @pytest.mark.parametrize("setting", [2, 3, 4, 5, 6, 7, 8])

@@ -93,12 +93,13 @@ def test_pallas_matches_reference(seed):
     d1, s1, f1 = raycast(pos, heading, alive, species, cfg)
     d2, s2, f2 = raycast_pallas(pos, heading, alive, species, cfg,
                                 worlds_per_block=2, interpret=True)
+    # Exact, not tolerance: the kernel keeps the jnp reference's float
+    # arithmetic op-for-op (CLAUDE.md parity invariant). The REAL-hardware
+    # counterpart of this assertion is artifacts/hw_kernel_parity.py, which
+    # records bit-exactness on TPU in artifacts/HW_KERNEL_PARITY.json.
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
-    sem_eq = np.asarray(s1) == np.asarray(s2)
-    dep_close = np.abs(np.asarray(d1).astype(int) - np.asarray(d2).astype(int)) <= 1
-    # allow ulp-level discrepancies at quantization boundaries only
-    assert sem_eq.mean() > 0.999, sem_eq.mean()
-    assert dep_close.all()
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
 
 
 def test_pallas_odd_capacity():
