@@ -145,9 +145,14 @@ def bench_ppo(num_worlds=8192, max_agents=128, iters=2, warmup=1,
                     max_agents=max_agents)
     gen = SpeciesNetGenerator(cfg.obs_dim, 6, 128, cfg.hidden_state_dim, seed=0)
     models = [ActorCritic.from_generator(gen) for _ in range(cfg.num_species)]
+    # Learner-row compaction (BENCH_PPO_SLOTS, 0 = off): only ~pop/Asub of
+    # padded class slots are alive; the per-group one-hot compaction cuts
+    # update rows ~2-2.7x with a dropped-row counter guarding correctness.
+    slots = int(os.environ.get("BENCH_PPO_SLOTS", "16")) or None
     it, opt = make_ppo_trainer(models, cfg, rollout_len=rollout_len,
                                use_pallas=use_pallas,
-                               compute_dtype=compute_dtype)
+                               compute_dtype=compute_dtype,
+                               learner_slots_per_class=slots)
     tstates = init_train_states(models, jax.random.key(1), opt)
     state = init_state(jax.random.key(0), cfg)
     key = jax.random.key(2)
@@ -160,6 +165,14 @@ def bench_ppo(num_worlds=8192, max_agents=128, iters=2, warmup=1,
                                jax.random.fold_in(key, warmup + i))
     float(jax.device_get(_checksum(state)))
     dt = time.perf_counter() - t0
+    if slots is not None:
+        dropped = sum(float(m[f"species_{i}_dropped_rows"])
+                      for i in range(1, cfg.num_species + 1))
+        total = rollout_len * num_worlds * (max_agents // cfg.num_species)
+        print(f"learner compaction slots={slots}: dropped "
+              f"{dropped:.0f}/{total * cfg.num_species} alive rows "
+              f"({100 * dropped / max(1, total * cfg.num_species):.4f}%)",
+              file=sys.stderr)
     return num_worlds * iters * rollout_len / dt
 
 

@@ -87,7 +87,7 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
                      vf_coef: float = 0.5, ent_coef: float = 0.01,
                      lr: float = 3e-4, max_grad_norm: float = 0.5,
                      use_pallas: bool = False, optimizer=None,
-                     compute_dtype=None):
+                     compute_dtype=None, learner_slots_per_class=None):
     """Returns (ppo_iteration, optimizer).
 
     ppo_iteration(state, train_states, key) -> (state, train_states, metrics)
@@ -202,12 +202,14 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
         # Per-class flatten [T, W, A, ...] -> [T*W*Asub, ...] for species s
         # (SPEC D2b: class rows are a contiguous strided view).
         Asub = A // NS
+        L = learner_slots_per_class
+        rows = Asub if L is None or L >= Asub else L
 
         def fl(x, s):
             x4 = x.reshape((T, W, Asub, NS) + x.shape[3:])
             return x4[:, :, :, s].reshape((T * W * Asub,) + x.shape[3:])
 
-        B = T * W * Asub
+        B = T * W * rows
         assert B % num_minibatches == 0
         mb = B // num_minibatches
 
@@ -216,13 +218,48 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
         roll_off = jax.random.randint(jax.random.fold_in(key, 777), (), 0, B)
 
         def update_species(s, ts):
-            obs_all = _flat_obs(fl(roll.depth, s), fl(roll.health, s),
-                                fl(roll.pos, s), fl(roll.semantic, s),
-                                fl(roll.surrounding, s),
-                                f32 if cd is None else cd)
-            mask_sp = fl(roll.alive, s) & (fl(roll.species, s) == s + 1)
-            reward_total = jnp.sum(fl(roll.reward, s) * mask_sp)
-            count_total = mask_sp.sum()
+            mask_full = fl(roll.alive, s) & (fl(roll.species, s) == s + 1)
+            reward_total = jnp.sum(fl(roll.reward, s) * mask_full)
+            count_total = mask_full.sum()
+
+            if rows < Asub:
+                # Learner-row compaction: only ~pop/Asub of the padded class
+                # slots are alive, so gather each (t, w) group's alive rows
+                # into the first `rows` learner slots via a per-group
+                # one-hot contraction (an MXU batched matmul — NO dynamic
+                # gather; exact: <= 1 nonzero per sum, f32 accumulation).
+                # Groups with more than `rows` alive agents drop the
+                # highest-slot overflow; the dropped fraction is reported
+                # as species_*_dropped_rows (zero at typical populations).
+                m3 = mask_full.reshape(T * W, Asub)
+                rank = jnp.cumsum(m3.astype(jnp.int32), axis=1) - 1
+                keep = m3 & (rank < rows)
+                oh = ((rank[:, None, :] == jnp.arange(rows)[None, :, None])
+                      & keep[:, None, :])                  # [G, rows, Asub]
+                oh_b = oh.astype(jnp.bfloat16 if cd is not None else f32)
+                oh_f = oh.astype(f32)
+
+                def compact(x):
+                    x3 = x.reshape((T * W, Asub) + x.shape[1:])
+                    if x3.ndim == 2:
+                        x3 = x3[..., None]
+                    o = oh_b if x3.dtype == jnp.bfloat16 else oh_f
+                    out = jnp.einsum("gka,gad->gkd", o, x3.astype(o.dtype),
+                                     preferred_element_type=f32)
+                    out = out.reshape((B,) + x.shape[1:] if x.ndim > 1
+                                      else (B,))
+                    return out.astype(x.dtype)
+
+                dropped = count_total - keep.sum()
+            else:
+                compact = lambda x: x
+                dropped = jnp.int32(0)
+
+            obs_all = compact(_flat_obs(
+                fl(roll.depth, s), fl(roll.health, s), fl(roll.pos, s),
+                fl(roll.semantic, s), fl(roll.surrounding, s),
+                f32 if cd is None else cd))
+            mask_sp = compact(mask_full.astype(f32)) > 0.5
 
             def mb_major(x):
                 # [B, ...] -> [M, mb, ...]: each minibatch becomes one
@@ -236,10 +273,12 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
 
             bufs = jax.lax.optimization_barrier(tuple(
                 mb_major(jnp.roll(x, roll_off, axis=0))
-                for x in (obs_all, fl(roll.memory, s),
-                          fl(roll.action, s).astype(jnp.int32),
-                          fl(roll.logp, s), fl(advantages, s),
-                          fl(returns, s), fl(roll.value, s), mask_sp)))
+                for x in (obs_all, compact(fl(roll.memory, s)),
+                          compact(fl(roll.action, s).astype(jnp.int32)),
+                          compact(fl(roll.logp, s)),
+                          compact(fl(advantages, s)),
+                          compact(fl(returns, s)),
+                          compact(fl(roll.value, s)), mask_sp)))
 
             def loss_fn(params, picked):
                 o, m, a, lp_old, adv, ret, vold, msk = picked
@@ -296,6 +335,7 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
                 "v_loss": vl.mean(), "entropy": ent.mean(),
                 "count": count_total / T,
                 "reward": reward_total / T,
+                "dropped_rows": dropped,
             }
 
         new_ts = []

@@ -96,7 +96,9 @@ def train(args):
         tick, _ = make_ppo_trainer(models, cfg, rollout_len=args.rollout_len,
                                    gamma=args.gamma, lr=args.lr,
                                    use_pallas=args.use_pallas,
-                                   optimizer=optimizer)
+                                   optimizer=optimizer,
+                                   compute_dtype=compute_dtype,
+                                   learner_slots_per_class=args.learner_slots)
         state = init_state(jax.random.key(args.seed), cfg)
         if args.use_mesh:
             from madrona_bots_tpu.parallel import make_mesh, shard_state
@@ -329,6 +331,10 @@ def main(argv=None):
                         help='a2c = reference-parity TD(0); ppo = scale path')
     parser.add_argument('--rollout_len', type=int, default=16,
                         help='PPO: env steps per iteration')
+    parser.add_argument('--learner_slots', type=int, default=None,
+                        help='PPO: cap learner rows per (world, species) via '
+                             'on-device compaction; None trains on all '
+                             'padded slots')
     args = parser.parse_args(argv)
     train(args)
 

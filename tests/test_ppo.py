@@ -30,3 +30,40 @@ def test_ppo_iteration_runs_and_updates():
     assert max(jax.tree.leaves(diffs)) > 0
     assert int(state.step_count) == 8  # 2 iterations x 4 rollout steps
     assert int(state.alive.sum()) > 0
+
+
+def test_ppo_learner_compaction_matches_full():
+    """learner_slots_per_class with a single minibatch: the compacted update
+    sees exactly the same masked transition set as the full padded update
+    (the one-hot gather is exact; only the summation ORDER inside the loss
+    reductions changes), so losses and updated params agree to reassociation
+    ulps and the dropped-row counter stays zero. With multiple minibatches
+    the partition composition legitimately differs — the guarantee is
+    same-transitions, not same-grouping."""
+    import numpy as np
+    from madrona_bots_tpu.env.state import init_state
+    from madrona_bots_tpu.learn.a2c import init_train_states
+    from madrona_bots_tpu.models import ActorCritic, SpeciesNetGenerator
+
+    cfg = EnvConfig(num_worlds=4, init_agents=16, max_agents=32)
+    gen = SpeciesNetGenerator(cfg.obs_dim, 6, 16, cfg.hidden_state_dim, seed=0)
+    models = [ActorCritic.from_generator(gen) for _ in range(4)]
+
+    outs = []
+    for slots in (None, 6):
+        it, opt = make_ppo_trainer(models, cfg, rollout_len=2,
+                                   num_minibatches=1, update_epochs=1,
+                                   learner_slots_per_class=slots)
+        ts = init_train_states(models, jax.random.key(1), opt)
+        state = init_state(jax.random.key(0), cfg)
+        state, ts, m = it(state, ts, jax.random.key(2))
+        outs.append((ts, m))
+
+    (ts_full, m_full), (ts_c, m_c) = outs
+    for i in range(1, 5):
+        assert float(m_c[f"species_{i}_dropped_rows"]) == 0.0
+        np.testing.assert_allclose(float(m_c[f"species_{i}_loss"]),
+                                   float(m_full[f"species_{i}_loss"]),
+                                   rtol=2e-4)
+    for a, b in zip(jax.tree.leaves(ts_full), jax.tree.leaves(ts_c)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
