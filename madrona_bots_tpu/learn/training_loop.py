@@ -20,6 +20,12 @@ import os
 import time
 
 import jax
+
+# Persistent XLA compile cache: the remote-TPU tunnel compiles are minutes;
+# repeat CLI invocations with the same shapes should be near-instant.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/root/jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
