@@ -148,7 +148,7 @@ def bench_ppo(num_worlds=8192, max_agents=128, iters=2, warmup=1,
     # Learner-row compaction (BENCH_PPO_SLOTS, 0 = off): only ~pop/Asub of
     # padded class slots are alive; the per-group one-hot compaction cuts
     # update rows ~2-2.7x with a dropped-row counter guarding correctness.
-    slots = int(os.environ.get("BENCH_PPO_SLOTS", "16")) or None
+    slots = int(os.environ.get("BENCH_PPO_SLOTS", "12")) or None
     it, opt = make_ppo_trainer(models, cfg, rollout_len=rollout_len,
                                use_pallas=use_pallas,
                                compute_dtype=compute_dtype,

@@ -128,11 +128,27 @@ def step_systems(state: WorldState, cfg: EnvConfig,
 
 
 def sensor_pass(state: WorldState, cfg: EnvConfig, use_pallas: bool = False) -> WorldState:
-    """The Sensor graph (sim.cpp:1183-1188): raycast depth/semantic + finder."""
+    """The Sensor graph (sim.cpp:1183-1188): raycast depth/semantic + finder.
+
+    The Pallas path groups worlds by population before the kernel: the
+    kernel's target loop runs to each BLOCK's max alive count, so sorting
+    puts similar populations together and every block pays its own cost
+    instead of its straggler's. Whole-row world gathers are cheap (the
+    pathological TPU gather is lane-axis indexing, not row indexing), and
+    the outputs are un-permuted — bit-identical to the unsorted call.
+    """
     if use_pallas:
         from madrona_bots_tpu.ops.raycast_pallas import raycast_pallas
+        order = jnp.argsort(jnp.sum(state.alive, axis=1))
+        inv = jnp.argsort(order)
         depth, semantic, finder = raycast_pallas(
-            state.pos, state.heading, state.alive, state.species, cfg)
+            jnp.take(state.pos, order, axis=0),
+            jnp.take(state.heading, order, axis=0),
+            jnp.take(state.alive, order, axis=0),
+            jnp.take(state.species, order, axis=0), cfg)
+        depth = jnp.take(depth, inv, axis=0)
+        semantic = jnp.take(semantic, inv, axis=0)
+        finder = jnp.take(finder, inv, axis=0)
     else:
         depth, semantic, finder = raycast(
             state.pos, state.heading, state.alive, state.species, cfg)

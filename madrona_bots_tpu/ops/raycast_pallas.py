@@ -76,9 +76,10 @@ def _kernel(posx_ref, posy_ref, heading_ref, alive_ref, offs_ref,
     def visit(b, carry):
         """Fold one (possibly out-of-range) target into the running mins."""
         t_min, sem_min, f_min, f_arg = carry
-        # The unroll-2 driver can pass b == A when n_max is odd and every
-        # slot is alive; clamp the SMEM reads (in_range keeps b's true value
-        # so the clamped lane contributes nothing).
+        # The unrolled driver can pass b >= A when n_max is not a multiple
+        # of the unroll factor at full population; clamp the SMEM reads
+        # (in_range keeps b's true value so the clamped lane contributes
+        # nothing).
         b_safe = jnp.minimum(b, A - 1)
         new_t, new_sem, new_f, new_fa = [], [], [], []
         for w in range(wb):
@@ -119,19 +120,21 @@ def _kernel(posx_ref, posy_ref, heading_ref, alive_ref, offs_ref,
             new_fa.append(jnp.where(fcloser, slot, f_arg[w]))
         return tuple(new_t), tuple(new_sem), tuple(new_f), tuple(new_fa)
 
-    # Unroll 2 targets per trip: the loop carry is 4*wb VMEM tiles whose
-    # re-threading costs as much as the compute — visiting two (sequential,
-    # order-preserving; the second predicated by its own in_range check)
-    # targets per iteration halves that overhead.
+    # Unroll 4 targets per trip: the loop carry is 4*wb VMEM tiles whose
+    # re-threading costs as much as the compute — visiting four (sequential,
+    # order-preserving; each predicated by its own in_range check) targets
+    # per iteration amortizes that overhead.
     def body(i, carry):
-        return visit(2 * i + 1, visit(2 * i, carry))
+        for j in range(4):
+            carry = visit(4 * i + j, carry)
+        return carry
 
     t0 = tuple(jnp.full((S, A), _INF, jnp.float32) for _ in range(wb))
     s0 = tuple(jnp.zeros((S, A), jnp.int32) for _ in range(wb))
     f0 = tuple(jnp.full((1, A), _INF, jnp.float32) for _ in range(wb))
     a0 = tuple(jnp.full((1, A), -1, jnp.int32) for _ in range(wb))
     t_agent, sem_agent, f_t, f_arg = jax.lax.fori_loop(
-        0, (n_max + 1) // 2, body, (t0, s0, f0, a0))
+        0, (n_max + 3) // 4, body, (t0, s0, f0, a0))
 
     limx = jnp.float32(cfg.world_lim_x)
     limy = jnp.float32(cfg.world_lim_y)
