@@ -101,8 +101,13 @@ def bench_train(num_worlds=8192, max_agents=128, iters=2, warmup=1,
                     max_agents=max_agents)
     gen = SpeciesNetGenerator(cfg.obs_dim, 6, 128, cfg.hidden_state_dim, seed=0)
     models = [ActorCritic.from_generator(gen) for _ in range(cfg.num_species)]
+    # Learner-row compaction (BENCH_A2C_SLOTS, 0 = off): the per-world
+    # one-hot gather feeds only ~alive rows to the 4 nets — the same
+    # alive-only batch the reference's species sort produces.
+    slots = int(os.environ.get("BENCH_A2C_SLOTS", "12")) or None
     tick, opt = make_train_tick(models, cfg, use_pallas=use_pallas,
-                                compute_dtype=compute_dtype)
+                                compute_dtype=compute_dtype,
+                                learner_slots_per_class=slots)
     tstates = init_train_states(models, jax.random.key(1), opt)
 
     @partial(jax.jit, donate_argnums=(0, 1))

@@ -129,16 +129,25 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
                     lr: float = 3e-4, gamma: float = 1.0,
                     proper_log_probs: bool = False,
                     quirk_compat: bool = False, use_pallas: bool = False,
-                    compute_dtype=None):
+                    compute_dtype=None, learner_slots_per_class=None):
     """Build the fused jitted train tick.
 
     Returns (tick, optimizer) where
       tick(state, train_states, key) -> (state, train_states, metrics)
     runs: sim step -> 4 species updates -> action/memory write-back -> shift.
+
+    learner_slots_per_class=L compacts each world's alive class rows into L
+    learner slots before the update (per-world one-hot contraction — the
+    same alive-rows-only batch the reference's species sort produces, so it
+    is MORE faithful than the padded batch, not less). Overflow agents
+    beyond L in a crowded world are dropped for that tick (null action,
+    zero memory; counted in species_*_dropped_rows — zero at typical
+    populations). None = train on all padded slots.
     """
     optimizer = make_optimizer(lr)
     num_species = cfg.num_species
     assert len(models) == num_species
+    Lcap = learner_slots_per_class
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def tick(state: WorldState, train_states, key):
@@ -172,36 +181,95 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
         alive3 = state.alive.reshape(W, Asub, NS)
         species3 = state.species.reshape(W, Asub, NS)
 
+        rows = Asub if Lcap is None or Lcap >= Asub else Lcap
+
         action_cols, hidden_cols = [], []
         new_tstates = []
         metrics: Dict[str, jax.Array] = {}
         for s in range(num_species):
-            mask = (alive3[:, :, s]
-                    & (species3[:, :, s] == s + 1)).astype(f32).reshape(Nc)
+            mask3 = alive3[:, :, s] & (species3[:, :, s] == s + 1)  # [W, Asub]
+            mask_full = mask3.astype(f32).reshape(Nc)
             prev_sp3 = state.prev_species.reshape(W, Asub, NS)
-            loss_mask = mask * (prev_sp3[:, :, s] == s + 1).astype(
-                f32).reshape(Nc)
+            lm3 = mask3 & (prev_sp3[:, :, s] == s + 1)
+
+            if rows < Asub:
+                rank = jnp.cumsum(mask3.astype(jnp.int32), axis=1) - 1
+                keep = mask3 & (rank < rows)
+                oh = ((rank[:, None, :] == jnp.arange(rows)[None, :, None])
+                      & keep[:, None, :])                   # [W, rows, Asub]
+                oh_f = oh.astype(f32)
+                oh_c = oh.astype(obs_dtype)
+
+                def compact(x3, oh_=None):
+                    """[W, Asub(, D)] -> [W*rows(, D)] via exact one-hot."""
+                    o = oh_f if oh_ is None else oh_
+                    xd = x3 if x3.ndim == 3 else x3[..., None]
+                    out = jnp.einsum("gka,gad->gkd", o, xd.astype(o.dtype),
+                                     preferred_element_type=f32)
+                    out = out.astype(xd.dtype)
+                    return out.reshape((W * rows,) + x3.shape[2:])
+
+                def expand(vals, dtype):
+                    """[W*rows(, D)] -> [W, Asub(, D)] inverse scatter."""
+                    v = vals.reshape((W, rows) + vals.shape[1:])
+                    vd = v if v.ndim == 3 else v[..., None]
+                    out = jnp.einsum("gka,gkd->gad", oh_f, vd.astype(f32),
+                                     preferred_element_type=f32)
+                    if vals.ndim == 1:
+                        out = out[..., 0]
+                    return out.astype(dtype)
+
+                mask = compact(mask3.astype(f32)).reshape(W * rows)
+                loss_mask = compact(lm3.astype(f32)).reshape(W * rows)
+                up = dict(
+                    obs_cur=compact(obs_cur4[:, :, s], oh_c),
+                    obs_prev=compact(obs_prev4[:, :, s], oh_c),
+                    mem=compact(mem4[:, :, s]),
+                    mem_prev=compact(mem_prev4[:, :, s]),
+                    prev_act=compact(
+                        prev_act3[:, :, s].astype(f32)).astype(jnp.int32),
+                    rewards=compact(rewards3[:, :, s]),
+                )
+                dropped = mask3.sum() - keep.sum()
+            else:
+                mask = mask_full
+                loss_mask = lm3.astype(f32).reshape(Nc)
+                up = dict(obs_cur=obs_cur4[:, :, s].reshape(Nc, D),
+                          obs_prev=obs_prev4[:, :, s].reshape(Nc, D),
+                          mem=mem4[:, :, s].reshape(Nc, H),
+                          mem_prev=mem_prev4[:, :, s].reshape(Nc, H),
+                          prev_act=prev_act3[:, :, s].reshape(Nc),
+                          rewards=rewards3[:, :, s].reshape(Nc))
+                dropped = jnp.int32(0)
+
             ts, actions, mem, m = _species_update(
                 models[s], optimizer, train_states[s],
-                obs_cur4[:, :, s].reshape(Nc, D),
-                obs_prev4[:, :, s].reshape(Nc, D),
-                mem4[:, :, s].reshape(Nc, H),
-                mem_prev4[:, :, s].reshape(Nc, H),
-                prev_act3[:, :, s].reshape(Nc),
-                rewards3[:, :, s].reshape(Nc),
+                up["obs_cur"], up["obs_prev"], up["mem"], up["mem_prev"],
+                up["prev_act"], up["rewards"],
                 mask, jax.random.fold_in(key, s), gamma, proper_log_probs,
                 compute_dtype, loss_mask=loss_mask)
             new_tstates.append(ts)
             onehot = jax.nn.one_hot(actions, NUM_ACTIONS, dtype=jnp.int32)
-            action_cols.append(
-                (onehot * mask[:, None].astype(jnp.int32)).reshape(
-                    W, Asub, NUM_ACTIONS))
-            hidden_cols.append((mem * mask[:, None]).reshape(W, Asub, H))
+            if rows < Asub:
+                act_pad = expand(
+                    (onehot.astype(f32) * mask[:, None]), jnp.int32)
+                mem_pad = expand(mem * mask[:, None], f32)
+                action_cols.append(act_pad)
+                hidden_cols.append(mem_pad)
+            else:
+                action_cols.append(
+                    (onehot * mask[:, None].astype(jnp.int32)).reshape(
+                        W, Asub, NUM_ACTIONS))
+                hidden_cols.append((mem * mask[:, None]).reshape(W, Asub, H))
             # Remaining reference wandb series (training_loop.py:105-120):
-            # avg health, per-world population, popular (most-sampled) action.
+            # avg health, per-world population, popular (most-sampled) action
+            # — population/reward/health always over the FULL alive set.
+            m["count"] = mask_full.sum()
+            m["reward"] = jnp.sum(rewards3[:, :, s].reshape(Nc) * mask_full)
+            m["dropped_rows"] = dropped
             denom = jnp.maximum(m["count"], 1.0)
             health_s = state.health.reshape(W, Asub, NS)[:, :, s].reshape(Nc)
-            m["avg_health"] = jnp.sum(health_s.astype(f32) * mask) / denom
+            m["avg_health"] = jnp.sum(health_s.astype(f32) * mask_full) / denom
             m["count_per_world"] = m["count"] / W
             hist = jnp.sum(jax.nn.one_hot(actions, NUM_ACTIONS, dtype=f32)
                            * mask[:, None], axis=0)

@@ -125,7 +125,8 @@ def train(args):
                                   proper_log_probs=args.proper_log_probs,
                                   quirk_compat=args.quirk_compat,
                                   use_pallas=args.use_pallas,
-                                  compute_dtype=compute_dtype)
+                                  compute_dtype=compute_dtype,
+                                  learner_slots_per_class=args.learner_slots)
         state = init_state(jax.random.key(args.seed), cfg)
     key = jax.random.key(args.seed + 1)
 
@@ -338,7 +339,7 @@ def main(argv=None):
     parser.add_argument('--rollout_len', type=int, default=16,
                         help='PPO: env steps per iteration')
     parser.add_argument('--learner_slots', type=int, default=None,
-                        help='PPO: cap learner rows per (world, species) via '
+                        help='cap learner rows per (world, species) via '
                              'on-device compaction; None trains on all '
                              'padded slots')
     args = parser.parse_args(argv)

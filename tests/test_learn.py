@@ -62,3 +62,42 @@ def test_bf16_compute_dtype():
     # master params stay f32
     assert all(l.dtype == jnp.float32
                for l in jax.tree.leaves(tstates[0].params))
+
+
+def test_a2c_learner_compaction_matches_full():
+    """learner_slots_per_class on the A2C tick: when the cap covers every
+    alive agent, the compacted update equals the padded update to
+    reassociation ulps (the one-hot gather/scatter is exact) and the
+    write-back covers the same action rows; dropped counter stays zero."""
+    import numpy as np
+    from madrona_bots_tpu.config import EnvConfig
+    from madrona_bots_tpu.env.state import init_state
+    from madrona_bots_tpu.learn.a2c import init_train_states, make_train_tick
+    from madrona_bots_tpu.models import ActorCritic, SpeciesNetGenerator
+
+    cfg = EnvConfig(num_worlds=4, init_agents=16, max_agents=32)
+    gen = SpeciesNetGenerator(cfg.obs_dim, 6, 16, cfg.hidden_state_dim, seed=0)
+    models = [ActorCritic.from_generator(gen) for _ in range(4)]
+
+    outs = []
+    for L in (None, 6):
+        tick, opt = make_train_tick(models, cfg, learner_slots_per_class=L)
+        ts = init_train_states(models, jax.random.key(1), opt)
+        state = init_state(jax.random.key(0), cfg)
+        state, ts, m = tick(state, ts, jax.random.key(2))
+        outs.append((state, ts, m))
+
+    (s0, t0, m0), (s1, t1, m1) = outs
+    for i in range(1, 5):
+        assert float(m1[f"species_{i}_dropped_rows"]) == 0.0
+        for k in ("count", "reward", "avg_health"):
+            np.testing.assert_allclose(float(m0[f"species_{i}_{k}"]),
+                                       float(m1[f"species_{i}_{k}"]),
+                                       rtol=1e-6)
+        np.testing.assert_allclose(float(m0[f"species_{i}_total_loss"]),
+                                   float(m1[f"species_{i}_total_loss"]),
+                                   rtol=2e-4)
+    assert (int((np.asarray(s1.action).sum(-1) > 0).sum())
+            == int((np.asarray(s0.action).sum(-1) > 0).sum()))
+    for a, b in zip(jax.tree.leaves(t0), jax.tree.leaves(t1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
