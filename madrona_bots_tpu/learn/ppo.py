@@ -87,7 +87,8 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
                      vf_coef: float = 0.5, ent_coef: float = 0.01,
                      lr: float = 3e-4, max_grad_norm: float = 0.5,
                      use_pallas: bool = False, optimizer=None,
-                     compute_dtype=None, learner_slots_per_class=None):
+                     compute_dtype=None, learner_slots_per_class=None,
+                     decorrelate: bool = True):
     """Returns (ppo_iteration, optimizer).
 
     ppo_iteration(state, train_states, key) -> (state, train_states, metrics)
@@ -214,8 +215,10 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
         mb = B // num_minibatches
 
         # Per-iteration row-axis roll: changes each row's stride class
-        # between PPO iterations (see module docstring).
-        roll_off = jax.random.randint(jax.random.fold_in(key, 777), (), 0, B)
+        # between PPO iterations (see module docstring). decorrelate=False
+        # restores the round-1 fixed partition (for A/B comparisons).
+        roll_off = (jax.random.randint(jax.random.fold_in(key, 777), (), 0, B)
+                    if decorrelate else jnp.int32(0))
 
         def update_species(s, ts):
             mask_full = fl(roll.alive, s) & (fl(roll.species, s) == s + 1)
@@ -311,7 +314,7 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
             def epoch_body(ts, e):
                 def mb_body(ts, i):
                     # Epoch e visits stride class (i + e) % M.
-                    cls = (i + e) % num_minibatches
+                    cls = (i + e) % num_minibatches if decorrelate else i
                     picked = tuple(
                         jax.lax.dynamic_index_in_dim(x, cls, axis=0,
                                                      keepdims=False)

@@ -24,16 +24,23 @@ import pytest
 
 _CHECKSUM = r"""
 def _csum(state):
+    # ONE jitted SPMD program: eager per-leaf sums over process-sharded
+    # arrays would be per-op cross-process collectives and deadlock.
     import jax, jax.numpy as jnp
-    tot = jnp.int32(0)
-    for leaf in jax.tree.leaves(state):
-        leaf = jnp.asarray(leaf)
-        if jax.dtypes.issubdtype(leaf.dtype, jax.dtypes.prng_key):
-            continue
-        if leaf.dtype == jnp.float32:
-            leaf = jax.lax.bitcast_convert_type(leaf, jnp.int32)
-        tot = tot + jnp.sum(leaf.astype(jnp.int32))  # wrapping: order-free
-    return int(jax.device_get(tot))
+
+    @jax.jit
+    def impl(state):
+        tot = jnp.int32(0)
+        for leaf in jax.tree.leaves(state):
+            leaf = jnp.asarray(leaf)
+            if jax.dtypes.issubdtype(leaf.dtype, jax.dtypes.prng_key):
+                continue
+            if leaf.dtype == jnp.float32:
+                leaf = jax.lax.bitcast_convert_type(leaf, jnp.int32)
+            tot = tot + jnp.sum(leaf.astype(jnp.int32))  # wrapping: order-free
+        return tot
+
+    return int(jax.device_get(impl(state)))
 """
 
 _WORKER = r"""
