@@ -88,7 +88,7 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
                      lr: float = 3e-4, max_grad_norm: float = 0.5,
                      use_pallas: bool = False, optimizer=None,
                      compute_dtype=None, learner_slots_per_class=None,
-                     decorrelate: bool = True):
+                     decorrelate: bool = True, compact_rollout: bool = True):
     """Returns (ppo_iteration, optimizer).
 
     ppo_iteration(state, train_states, key) -> (state, train_states, metrics)
@@ -117,10 +117,15 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
 
         Slots are species-class partitioned (SPEC D2b), so each species'
         batch is the contiguous strided view [:, :, s] — each net forwards
-        only its own 1/NS of the rows, no sort/gather."""
+        only its own 1/NS of the rows, no sort/gather. With
+        learner_slots_per_class the rollout forwards also run on alive-row
+        compacted batches (overflow agents beyond the cap act null that
+        step — same negligible-drop cap as the update path)."""
         W, A = state.alive.shape
         Asub = A // NS
-        Nc = W * Asub
+        rows = (Asub if not compact_rollout or learner_slots_per_class is None
+                or learner_slots_per_class >= Asub else learner_slots_per_class)
+        Nc = W * rows
         obs = _flat_obs(state.sensor_depth, state.health, state.pos,
                         state.sensor_semantic, state.surrounding,
                         f32 if cd is None else cd)
@@ -132,18 +137,50 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
         sp3 = state.species.reshape(W, Asub, NS)
         a_c, lp_c, v_c, h_c = [], [], [], []
         for s in range(NS):
-            m = (alive3[:, :, s] & (sp3[:, :, s] == s + 1)).reshape(Nc)
-            logits, v, h = _fwd(s, params_list[s],
-                                obs4[:, :, s].reshape(Nc, D),
-                                mem4[:, :, s].reshape(Nc, H))
+            m3 = alive3[:, :, s] & (sp3[:, :, s] == s + 1)      # [W, Asub]
+            if rows < Asub:
+                rank = jnp.cumsum(m3.astype(jnp.int32), axis=1) - 1
+                keep = m3 & (rank < rows)
+                oh = ((rank[:, None, :] == jnp.arange(rows)[None, :, None])
+                      & keep[:, None, :])                        # [W, r, Asub]
+                oh_f = oh.astype(f32)
+                oh_c = oh.astype(f32 if cd is None else cd)
+
+                def gath(x4, o):
+                    out = jnp.einsum("gka,gad->gkd", o, x4.astype(o.dtype),
+                                     preferred_element_type=f32)
+                    return out.astype(x4.dtype).reshape(Nc, x4.shape[-1])
+
+                def scat(v2, dtype):
+                    vd = v2.reshape(W, rows, -1)
+                    out = jnp.einsum("gka,gkd->gad", oh_f, vd.astype(f32),
+                                     preferred_element_type=f32)
+                    return out.astype(dtype)                     # [W, Asub, d]
+
+                o_in = gath(obs4[:, :, s], oh_c)
+                m_in = gath(mem4[:, :, s], oh_f)
+                mk = gath(m3.astype(f32)[..., None], oh_f)[:, 0]
+            else:
+                o_in = obs4[:, :, s].reshape(Nc, D)
+                m_in = mem4[:, :, s].reshape(Nc, H)
+                mk = m3.reshape(Nc).astype(f32)
+            logits, v, h = _fwd(s, params_list[s], o_in, m_in)
             a = jax.random.categorical(jax.random.fold_in(key, s), logits)
             lsm = jax.nn.log_softmax(logits, -1)
             lp = jnp.sum(lsm * jax.nn.one_hot(a, lsm.shape[-1],
                                               dtype=lsm.dtype), axis=1)
-            a_c.append(jnp.where(m, a, 0).reshape(W, Asub))
-            lp_c.append(jnp.where(m, lp, 0.0).reshape(W, Asub))
-            v_c.append(jnp.where(m, v, 0.0).reshape(W, Asub))
-            h_c.append(jnp.where(m[:, None], h, 0.0).reshape(W, Asub, H))
+            mb = mk > 0.5
+            if rows < Asub:
+                a_c.append(scat(jnp.where(mb, a, 0).astype(f32),
+                                jnp.int32)[..., 0])
+                lp_c.append(scat(jnp.where(mb, lp, 0.0), f32)[..., 0])
+                v_c.append(scat(jnp.where(mb, v, 0.0), f32)[..., 0])
+                h_c.append(scat(h * mk[:, None], f32))
+            else:
+                a_c.append(jnp.where(mb, a, 0).reshape(W, Asub))
+                lp_c.append(jnp.where(mb, lp, 0.0).reshape(W, Asub))
+                v_c.append(jnp.where(mb, v, 0.0).reshape(W, Asub))
+                h_c.append((h * mk[:, None]).reshape(W, Asub, H))
         action = jnp.stack(a_c, axis=2).reshape(W, A)
         logp = jnp.stack(lp_c, axis=2).reshape(W, A)
         value = jnp.stack(v_c, axis=2).reshape(W, A)

