@@ -18,7 +18,10 @@ device->host value transfer.
 
 Modes (env var BENCH_MODE): "env" (default) = pure simulator throughput at
 8192 worlds (random actions resampled on device); "train" = fused A2C
-actor-learner tick throughput.
+actor-learner tick; "ppo" = full PPO iteration (rollout + GAE + minibatch
+updates). Knobs: BENCH_WORLDS, BENCH_SCAN, BENCH_PALLAS=0 (jnp spec paths),
+BENCH_DTYPE=f32, BENCH_A2C_SLOTS / BENCH_PPO_SLOTS (0 = no learner-row
+compaction).
 """
 
 import json
