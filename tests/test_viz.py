@@ -118,3 +118,38 @@ def test_env_app_driver(tmp_path, monkeypatch):
                            str(tmp_path / "frames")])
     assert params and all(p is not None for p in params)
     assert os.path.exists(tmp_path / "frames")
+
+
+def test_web_viewer_serves_state_and_steps():
+    """viz/web.py: the JSON endpoint returns a renderable snapshot; /step
+    advances the sim; key handling drives the selected agent."""
+    import json
+    import threading
+    import urllib.request
+
+    from madrona_bots_tpu.viz.web import WebViewer, make_server
+
+    viewer = WebViewer(num_worlds=2, seed=3, init_agents=16)
+    srv = make_server(viewer, 0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        page = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=120).read().decode()
+        assert "<canvas" in page
+
+        s0 = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/state", timeout=300).read())
+        for k in ("agents", "food", "depth", "semantic", "lim", "alive"):
+            assert k in s0, k
+        assert len(s0["depth"]) == 32 and s0["alive"] > 0
+
+        s1 = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/step?keys=w,r", timeout=300).read())
+        assert s1["step"] == s0["step"] + 1
+        s2 = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/step?keys=arrowup", timeout=300).read())
+        assert s2["world"] == 1
+    finally:
+        srv.shutdown()
