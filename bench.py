@@ -21,7 +21,7 @@ Modes (env var BENCH_MODE): "env" (default) = pure simulator throughput at
 actor-learner tick; "ppo" = full PPO iteration (rollout + GAE + minibatch
 updates). Knobs: BENCH_WORLDS, BENCH_SCAN, BENCH_PALLAS=0 (jnp spec paths),
 BENCH_DTYPE=f32, BENCH_A2C_SLOTS / BENCH_PPO_SLOTS (0 = no learner-row
-compaction).
+compaction), BENCH_INIT_AGENTS=128 (saturated population).
 """
 
 import json
@@ -57,7 +57,10 @@ def bench_env(num_worlds=8192, max_agents=128, iters=4, warmup=1,
         # BENCH_PALLAS=0 opts out.
         use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
     K = scan_len or int(os.environ.get("BENCH_SCAN", "32"))
-    cfg = EnvConfig(num_worlds=num_worlds, init_agents=32,
+    # BENCH_INIT_AGENTS=128 reproduces the saturated-population row of
+    # BASELINE.md (the sensor cost is O(population)).
+    init_agents = int(os.environ.get("BENCH_INIT_AGENTS", "32"))
+    cfg = EnvConfig(num_worlds=num_worlds, init_agents=init_agents,
                     max_agents=max_agents)
 
     @partial(jax.jit, donate_argnums=(0,))
