@@ -84,7 +84,6 @@ def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
     P = cfg.max_food_packages
     NS = cfg.num_species
     FL = cfg.respawn_floor
-    BIG = i32(A)
 
     flags = flags_ref[...]
     alive0 = flags & 1                                    # [wb, A] i32 0/1
