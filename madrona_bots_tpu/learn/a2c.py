@@ -30,6 +30,10 @@ from madrona_bots_tpu.learn.obs import construct_obs
 from madrona_bots_tpu.models.actor_critic import ActorCritic, compute_loss
 
 f32 = jnp.float32
+# f32-payload one-hot einsums need HIGHEST precision on TPU (default matmul
+# truncates f32 operands to bf16 — CLAUDE.md); bf16 payloads are exact at
+# default (one-hot, <= 1 nonzero per sum, f32 accumulation).
+_HI = jax.lax.Precision.HIGHEST
 
 
 class SpeciesTrainState(NamedTuple):
@@ -205,7 +209,8 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
                     o = oh_f if oh_ is None else oh_
                     xd = x3 if x3.ndim == 3 else x3[..., None]
                     out = jnp.einsum("gka,gad->gkd", o, xd.astype(o.dtype),
-                                     preferred_element_type=f32)
+                                     preferred_element_type=f32,
+                                     precision=_HI if o.dtype == f32 else None)
                     out = out.astype(xd.dtype)
                     return out.reshape((W * rows,) + x3.shape[2:])
 
@@ -214,7 +219,7 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
                     v = vals.reshape((W, rows) + vals.shape[1:])
                     vd = v if v.ndim == 3 else v[..., None]
                     out = jnp.einsum("gka,gkd->gad", oh_f, vd.astype(f32),
-                                     preferred_element_type=f32)
+                                     preferred_element_type=f32, precision=_HI)
                     if vals.ndim == 1:
                         out = out[..., 0]
                     return out.astype(dtype)

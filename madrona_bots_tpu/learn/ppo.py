@@ -45,6 +45,12 @@ from madrona_bots_tpu.learn.a2c import SpeciesTrainState
 from madrona_bots_tpu.models.actor_critic import ActorCritic
 
 f32 = jnp.float32
+# One-hot contractions carrying f32 payloads MUST run at HIGHEST precision:
+# TPU's default matmul pass truncates f32 operands to bf16 (CLAUDE.md /
+# env/systems.py:54-59), silently corrupting logp/advantage/value/memory
+# payloads. bf16-operand einsums stay at default (bf16 x one-hot with f32
+# accumulation is exact: <= 1 nonzero per sum).
+_HI = jax.lax.Precision.HIGHEST
 
 
 class Rollout(NamedTuple):
@@ -135,12 +141,17 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
         mem4 = state.hidden.reshape(W, Asub, NS, H)
         alive3 = state.alive.reshape(W, Asub, NS)
         sp3 = state.species.reshape(W, Asub, NS)
-        a_c, lp_c, v_c, h_c = [], [], [], []
+        a_c, lp_c, v_c, h_c, k_c = [], [], [], [], []
         for s in range(NS):
             m3 = alive3[:, :, s] & (sp3[:, :, s] == s + 1)      # [W, Asub]
+            kept = jnp.ones_like(m3)
             if rows < Asub:
                 rank = jnp.cumsum(m3.astype(jnp.int32), axis=1) - 1
                 keep = m3 & (rank < rows)
+                # Overflow agents beyond the cap must act NULL (all-zero
+                # action vector), not one_hot(0)=FORWARD: the caller masks
+                # its one-hot by this kept flag (advisor r2, medium).
+                kept = keep | ~m3
                 oh = ((rank[:, None, :] == jnp.arange(rows)[None, :, None])
                       & keep[:, None, :])                        # [W, r, Asub]
                 oh_f = oh.astype(f32)
@@ -148,13 +159,14 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
 
                 def gath(x4, o):
                     out = jnp.einsum("gka,gad->gkd", o, x4.astype(o.dtype),
-                                     preferred_element_type=f32)
+                                     preferred_element_type=f32,
+                                     precision=_HI if o.dtype == f32 else None)
                     return out.astype(x4.dtype).reshape(Nc, x4.shape[-1])
 
                 def scat(v2, dtype):
                     vd = v2.reshape(W, rows, -1)
                     out = jnp.einsum("gka,gkd->gad", oh_f, vd.astype(f32),
-                                     preferred_element_type=f32)
+                                     preferred_element_type=f32, precision=_HI)
                     return out.astype(dtype)                     # [W, Asub, d]
 
                 o_in = gath(obs4[:, :, s], oh_c)
@@ -181,11 +193,13 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
                 lp_c.append(jnp.where(mb, lp, 0.0).reshape(W, Asub))
                 v_c.append(jnp.where(mb, v, 0.0).reshape(W, Asub))
                 h_c.append((h * mk[:, None]).reshape(W, Asub, H))
+            k_c.append(kept)
         action = jnp.stack(a_c, axis=2).reshape(W, A)
         logp = jnp.stack(lp_c, axis=2).reshape(W, A)
         value = jnp.stack(v_c, axis=2).reshape(W, A)
         new_hidden = jnp.stack(h_c, axis=2).reshape(state.hidden.shape)
-        return action, logp, value, new_hidden
+        kept_all = jnp.stack(k_c, axis=2).reshape(W, A)
+        return action, logp, value, new_hidden, kept_all
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def ppo_iteration(state: WorldState, train_states, key):
@@ -196,9 +210,10 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
             state, key = carry
             key, k_act = jax.random.split(key)
             mem_in = state.hidden
-            action, logp, value, new_hidden = policy_step(params_list, state,
-                                                          k_act)
+            action, logp, value, new_hidden, kept = policy_step(
+                params_list, state, k_act)
             onehot = jax.nn.one_hot(action, NUM_ACTIONS, dtype=jnp.int32)
+            onehot = onehot * kept[..., None]   # overflow rows act null
             rec_pre = dict(
                 depth=state.sensor_depth, semantic=state.sensor_semantic,
                 health=state.health, pos=state.pos,
@@ -219,8 +234,8 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
                                           jnp.arange(T))
 
         # Bootstrap values at T with the current policy.
-        _, _, last_value, _ = policy_step(params_list, state,
-                                          jax.random.fold_in(key, 999))
+        _, _, last_value, _, _ = policy_step(params_list, state,
+                                             jax.random.fold_in(key, 999))
         last_value = last_value.reshape(W, A)
 
         # GAE over the scan axis; continuing env (no resets, quirk Q7), agent
@@ -285,7 +300,8 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
                         x3 = x3[..., None]
                     o = oh_b if x3.dtype == jnp.bfloat16 else oh_f
                     out = jnp.einsum("gka,gad->gkd", o, x3.astype(o.dtype),
-                                     preferred_element_type=f32)
+                                     preferred_element_type=f32,
+                                     precision=_HI if o.dtype == f32 else None)
                     out = out.reshape((B,) + x.shape[1:] if x.ndim > 1
                                       else (B,))
                     return out.astype(x.dtype)

@@ -117,7 +117,9 @@ def train(args):
         tick, _ = make_sharded_train_tick(
             models, cfg, mesh, lr=args.lr, gamma=args.gamma,
             proper_log_probs=args.proper_log_probs,
-            use_pallas=args.use_pallas, compute_dtype=compute_dtype)
+            use_pallas=args.use_pallas, compute_dtype=compute_dtype,
+            quirk_compat=args.quirk_compat,
+            learner_slots_per_class=args.learner_slots)
         state = shard_state(init_state(jax.random.key(args.seed), cfg), mesh)
         print(f"mesh: {len(mesh.devices.flat)} devices, worlds sharded")
     else:
@@ -152,8 +154,11 @@ def train(args):
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def block(state, tstates, key, best_vals):
-            snaps0 = tuple(tuple(jax.tree.map(jnp.copy, ts) for ts in tstates)
-                           for _ in best_metric_names)
+            # Snapshot trees (3 deep copies of params+Adam state) only when
+            # best tracking is live — PPO block mode never uses them, so
+            # carrying them would cost ~3x train-state HBM for nothing.
+            snaps0 = (tuple(tuple(jax.tree.map(jnp.copy, ts) for ts in tstates)
+                            for _ in best_metric_names) if have_best else ())
             best_idx0 = jnp.full((len(best_metric_names), NSp), -1, jnp.int32)
 
             def body(carry, i):

@@ -21,12 +21,19 @@ from madrona_bots_tpu.parallel.mesh import state_sharding, replicated
 def make_sharded_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
                             mesh: Mesh, lr: float = 3e-4, gamma: float = 1.0,
                             proper_log_probs: bool = False,
-                            use_pallas: bool = False, compute_dtype=None):
+                            use_pallas: bool = False, compute_dtype=None,
+                            quirk_compat: bool = False,
+                            learner_slots_per_class=None):
     """Like a2c.make_train_tick but with explicit in/out shardings over the
-    mesh: state worlds-sharded, train states + key replicated."""
+    mesh: state worlds-sharded, train states + key replicated. Accepts the
+    full single-chip feature set (learner-row compaction, quirk_compat) —
+    the compaction one-hot contractions are per-world, so they shard over
+    the worlds axis with zero cross-chip traffic."""
     base_tick, optimizer = a2c.make_train_tick(
         models, cfg, lr=lr, gamma=gamma, proper_log_probs=proper_log_probs,
-        use_pallas=use_pallas, compute_dtype=compute_dtype)
+        use_pallas=use_pallas, compute_dtype=compute_dtype,
+        quirk_compat=quirk_compat,
+        learner_slots_per_class=learner_slots_per_class)
     # Re-jit the underlying function with shardings (base_tick is jitted
     # without them; reuse its wrapped impl).
     impl = base_tick.__wrapped__

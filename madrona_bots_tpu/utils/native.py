@@ -92,12 +92,14 @@ def gather_rows(src: np.ndarray, perm: np.ndarray) -> np.ndarray:
 def scatter_rows(src: np.ndarray, perm: np.ndarray, dst: np.ndarray) -> None:
     """dst[perm[r]] = src[r] in place — the write-back scatter
     (mbots_scatter_*), numpy fallback."""
-    rows_dst = dst.reshape(dst.shape[0], -1)
     lib = _load()
-    name = _SCATTER_BY_DTYPE.get(rows_dst.dtype)
-    if lib is None or name is None:
+    name = _SCATTER_BY_DTYPE.get(dst.dtype)
+    # A non-contiguous dst would make reshape() return a COPY and the native
+    # scatter would be silently lost — fall back to numpy in that case.
+    if lib is None or name is None or not dst.flags['C_CONTIGUOUS']:
         dst[perm] = src
         return
+    rows_dst = dst.reshape(dst.shape[0], -1)
     rows_src = np.ascontiguousarray(src.reshape(src.shape[0], -1))
     perm_c = np.ascontiguousarray(perm.astype(np.int32))
     getattr(lib, name)(rows_src, perm_c, perm.size, rows_dst.shape[1],

@@ -98,3 +98,24 @@ def test_ppo_compact_rollout_runs():
     # died/respawned in the last env step) — sanity: action rows are a
     # subset of capacity and nonzero
     assert acts.sum() > 0 and (acts <= np.ones_like(alive)).all()
+
+
+def test_ppo_compact_rollout_overflow_acts_null():
+    """Alive agents beyond the learner-slot cap must receive an ALL-ZERO
+    action vector ('act null'), not one_hot(0)=FORWARD (advisor r2 finding):
+    the count of nonzero action rows per (world, species class) can never
+    exceed the cap."""
+    cfg = EnvConfig(num_worlds=2, init_agents=32, max_agents=32)
+    gen = SpeciesNetGenerator(cfg.obs_dim, 6, 16, cfg.hidden_state_dim, seed=0)
+    models = [ActorCritic.from_generator(gen) for _ in range(4)]
+    cap = 2  # Asub = 8 slots/class, ~8 alive/class -> guaranteed overflow
+    it, opt = make_ppo_trainer(models, cfg, rollout_len=1, num_minibatches=1,
+                               update_epochs=1, learner_slots_per_class=cap)
+    ts = init_train_states(models, jax.random.key(1), opt)
+    state = init_state(jax.random.key(0), cfg)
+    state, ts, m = it(state, ts, jax.random.key(2))
+    assert sum(float(m[f"species_{i}_dropped_rows"]) for i in range(1, 5)) > 0
+    acts = np.asarray(state.action).sum(-1) > 0            # [W, A]
+    for s in range(4):
+        per_world = acts[:, s::4].sum(axis=1)
+        assert (per_world <= cap).all(), (s, per_world)

@@ -90,3 +90,36 @@ def test_sharded_matches_unsharded_training():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(s1.alive), np.asarray(sN.alive))
+
+
+def test_sharded_matches_unsharded_with_compaction_and_quirks():
+    """The sharded tick must support the full single-chip feature set
+    (learner-row compaction + quirk_compat) and stay equivalent: the
+    compaction one-hot contraction is per-world, so worlds-sharding cannot
+    change which rows are kept or what the learner batches contain."""
+    cfg = EnvConfig(num_worlds=8, init_agents=16, max_agents=32)
+    mesh = make_mesh()
+    gen = SpeciesNetGenerator(cfg.obs_dim, 6, 16, cfg.hidden_state_dim, seed=4)
+    models = [ActorCritic.from_generator(gen) for _ in range(4)]
+
+    kw = dict(quirk_compat=True, learner_slots_per_class=6)
+    tick1, opt1 = make_train_tick(models, cfg, **kw)
+    tickN, optN = make_sharded_train_tick(models, cfg, mesh, **kw)
+    ts1 = init_train_states(models, jax.random.key(1), opt1)
+    tsN = jax.tree.map(jnp.copy, ts1)
+    s1 = init_state(jax.random.key(0), cfg)
+    sN = shard_state(jax.tree.map(jnp.copy, s1), mesh)
+
+    for t in range(2):
+        k = jax.random.fold_in(jax.random.key(9), t)
+        s1, ts1, m1 = tick1(s1, ts1, k)
+        sN, tsN, mN = tickN(sN, tsN, k)
+
+    for s in range(4):
+        assert float(m1[f"species_{s+1}_dropped_rows"]) == \
+            float(mN[f"species_{s+1}_dropped_rows"])
+    for a, b in zip(jax.tree.leaves(ts1), jax.tree.leaves(tsN)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(s1.alive), np.asarray(sN.alive))
+    np.testing.assert_array_equal(np.asarray(s1.action), np.asarray(sN.action))
