@@ -14,10 +14,12 @@ import math
 
 
 class RewardSetting(enum.IntEnum):
-    """The 8 reward settings from rewardSystem (sim.cpp:840-983).
+    """The 9 reward settings from rewardSystem (sim.cpp:840-983).
 
     Only SETTING_8 is active in the reference (sim.cpp:942-957); the others
-    are reconstructed from its comment blocks. The run-name convention in
+    are reconstructed from its comment blocks — including the SECOND
+    "REWARD SETTING 7" block that trails setting 8 (sim.cpp:959-977), kept
+    here as SETTING_7B. The run-name convention in
     learn/training_loop.py:140-151 encodes which setting trained a universe.
     """
 
@@ -28,6 +30,7 @@ class RewardSetting(enum.IntEnum):
     SETTING_6 = 6  # population health + food +10
     SETTING_7 = 7  # population health + food +10 + repro +10
     SETTING_8 = 8  # population health + food +10 + repro +10 + enemy +15  (ACTIVE default)
+    SETTING_7B = 9  # trailing variant (sim.cpp:959-977): population health + repro +10, friendly -5, enemy +15, food +7
 
 
 # Action flag indices within the 6-wide int32 action vector (types.hpp:22-33).

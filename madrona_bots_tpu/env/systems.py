@@ -571,6 +571,10 @@ def reward_system(species, health, alive, species_rewards, stats, pos,
         r = pop_health + jnp.where(ate, 10.0, 0.0)
     elif setting == 7:
         r = pop_health + jnp.where(ate, 10.0, 0.0) + jnp.where(repro, 10.0, 0.0)
+    elif setting == 9:  # SETTING_7B — trailing block (sim.cpp:959-977)
+        r = (pop_health + jnp.where(repro, 10.0, 0.0)
+             - jnp.where(hit_friendly, 5.0, 0.0)
+             + jnp.where(hit_enemy, 15.0, 0.0) + jnp.where(ate, 7.0, 0.0))
     else:  # SETTING_8 — the active one (sim.cpp:942-957)
         r = (pop_health + jnp.where(ate, 10.0, 0.0) + jnp.where(repro, 10.0, 0.0)
              + jnp.where(hit_enemy, 15.0, 0.0))

@@ -435,6 +435,8 @@ def _reward(w: OracleWorld, a: int, st, sp_rewards, cfg: EnvConfig):
         r = np.float32(base + 10.0 * ate)
     elif setting == 7:
         r = np.float32(base + 10.0 * ate + 10.0 * rp)
+    elif setting == 9:  # SETTING_7B — trailing block (sim.cpp:959-977)
+        r = np.float32(base + 10.0 * rp - 5.0 * hf + 15.0 * he + 7.0 * ate)
     else:
         r = np.float32(base + 10.0 * ate + 10.0 * rp + 15.0 * he)
     return r

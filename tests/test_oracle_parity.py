@@ -155,9 +155,10 @@ def test_trajectory_parity_directed(pattern):
                 rtol=1e-6, atol=atol, err_msg=f"{pattern} step {t} field {f}")
 
 
-@pytest.mark.parametrize("setting", [2, 3, 4, 5, 6, 7, 8])
+@pytest.mark.parametrize("setting", [2, 3, 4, 5, 6, 7, 8, 9])
 def test_reward_settings_parity(setting):
-    """All 8 reward settings (quirk Q6 made first-class) match the oracle."""
+    """All 9 reward settings (quirk Q6 made first-class; 9 = the trailing
+    SETTING_7B block, sim.cpp:959-977) match the oracle."""
     from madrona_bots_tpu.config import RewardSetting
     cfg = EnvConfig(num_worlds=1, init_agents=16, max_agents=32,
                     reward_setting=RewardSetting(setting))
