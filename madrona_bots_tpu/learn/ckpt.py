@@ -97,6 +97,60 @@ class CheckpointManager:
                 os.remove(os.path.join(directory, f))
 
 
+def import_torch_checkpoint(path: str):
+    """Load a REFERENCE .pt checkpoint (torch) into our functional model.
+
+    The reference ships trained artifacts
+    (checkpoints/universe_violence/species_*/​*.pt) written by its
+    CheckpointManager.save (reference ckpt.py:28-33): a dict with
+    'model_state_dict', 'optimizer_state_dict', 'model_config'. The config
+    rebuilds the random architecture (reference models.py:107-137); the
+    state_dict keys are positional within each nn.Sequential, so they align
+    1:1 with the config's layer list (activations hold no params).
+
+    Returns (model: ActorCritic, params) with weights transposed to our
+    [in, out] convention. torch is imported lazily (CPU build is in the
+    image; nothing else in the framework depends on it).
+    """
+    import torch  # local import: optional dependency, only for interop
+
+    from madrona_bots_tpu.models.actor_critic import ActorCritic
+
+    ck = torch.load(path, map_location="cpu", weights_only=False)
+    config = ck["model_config"]
+    sd = {k: v.detach().cpu().numpy() for k, v in ck["model_state_dict"].items()}
+    model = ActorCritic(config)
+
+    def mlp(prefix, layer_cfgs):
+        out = []
+        for i, lc in enumerate(layer_cfgs):
+            if lc["type"] == "linear":
+                out.append({
+                    # torch Linear stores weight as [out, in]; ours is [in, out]
+                    "w": np.ascontiguousarray(sd[f"{prefix}.{i}.weight"].T),
+                    "b": sd[f"{prefix}.{i}.bias"],
+                })
+            else:
+                out.append(None)
+        return out
+
+    params = {
+        "feature": mlp("a2c_nets.feature", config["layers"]),
+        "recurrent": {
+            # torch RNN/GRU/LSTM store weight_ih/hh as [mult*dh, din/dh];
+            # gate order matches ours (LSTM i,f,g,o; GRU r,z,n).
+            "wi": np.ascontiguousarray(sd["a2c_nets.recurrent.weight_ih_l0"].T),
+            "wh": np.ascontiguousarray(sd["a2c_nets.recurrent.weight_hh_l0"].T),
+            "bi": sd["a2c_nets.recurrent.bias_ih_l0"],
+            "bh": sd["a2c_nets.recurrent.bias_hh_l0"],
+        },
+        "actor": mlp("a2c_nets.actor", config["actor"]),
+        "critic": mlp("a2c_nets.critic", config["critic"]),
+    }
+    params = jax.tree.map(jax.numpy.asarray, params)  # None = empty subtree
+    return model, params
+
+
 def save_sim_state(state, path: str):
     """Checkpoint the FULL simulator state (a capability the reference lacks:
     it only checkpoints models — SURVEY §5 'Sim state itself is NOT
