@@ -210,29 +210,60 @@ def test_two_species_parity():
                 err_msg=f"step {t} field {f}")
 
 
-def test_golden_trajectory():
-    """Frozen 20-step checksum trace (seed 0): detects accidental semantic
-    drift that a co-changed env+oracle pair would hide. Regenerate the file
-    ONLY for a deliberate, documented spec change."""
-    import json, os
-    golden = json.load(open(os.path.join(os.path.dirname(__file__),
-                                         "golden_trajectory.json")))
+# Per-field byte digests: integer/discrete fields hash their exact bytes;
+# float fields hash a fixed-point quantization (x * 2^12 rounded to i64) so
+# the digest survives ulp-level backend drift but catches real drift
+# (> ~2.4e-4). Compensating errors inside a sum cannot pass, unlike the old
+# 6-aggregate-sums format.
+GOLDEN_INT_FIELDS = ["alive", "species", "health", "stats", "food_count",
+                     "food_cell", "species_counts", "finder", "sensor_depth",
+                     "sensor_semantic", "action"]
+GOLDEN_QUANT_FIELDS = ["pos", "heading", "reward", "surrounding"]
+
+
+def _golden_digests(state):
+    import hashlib
+    row = {}
+    for f in GOLDEN_INT_FIELDS:
+        v = np.ascontiguousarray(np.asarray(getattr(state, f)))
+        row[f] = hashlib.blake2b(v.tobytes(), digest_size=8).hexdigest()
+    for f in GOLDEN_QUANT_FIELDS:
+        v = np.asarray(getattr(state, f), dtype=np.float64)
+        q = np.ascontiguousarray(np.round(v * 4096.0).astype(np.int64))
+        row[f] = hashlib.blake2b(q.tobytes(), digest_size=8).hexdigest()
+    return row
+
+
+def _golden_trajectory_rows(n_steps=50):
     cfg = EnvConfig(num_worlds=2, init_agents=32, max_agents=64)
     state = init_state(jax.random.key(0), cfg)
     rng = np.random.default_rng(0)
-    for row in golden:
+    rows = []
+    for t in range(n_steps):
         acts = random_actions(rng, 2, 64)
         state = step(set_actions(state, jnp.array(acts)), cfg)
-        got = {
-            "alive": int(np.asarray(state.alive).sum()),
-            "health": int(np.asarray(state.health).sum()),
-            "pos": round(float(np.asarray(state.pos).sum()), 3),
-            "depth": int(np.asarray(state.sensor_depth).astype(np.uint32).sum()),
-            "finder": int((np.asarray(state.finder) >= 0).sum()),
-            "food": int(np.asarray(state.num_food).sum()),
-        }
-        for k, v in got.items():
-            if k == "pos":
-                assert abs(v - row[k]) < 0.05, (row["t"], k, v, row[k])
-            else:
-                assert v == row[k], (row["t"], k, v, row[k])
+        rows.append({"t": t, **_golden_digests(state)})
+    return rows
+
+
+def test_golden_trajectory():
+    """Frozen 50-step per-field digest trace (seed 0): detects accidental
+    semantic drift that a co-changed env+oracle pair would hide. Regenerate
+    (python tests/test_oracle_parity.py) ONLY for a deliberate, documented
+    spec change (SPEC.md deviation process)."""
+    import json, os
+    golden = json.load(open(os.path.join(os.path.dirname(__file__),
+                                         "golden_trajectory.json")))
+    rows = _golden_trajectory_rows(len(golden))
+    for row, want in zip(rows, golden):
+        for k, v in want.items():
+            assert row[k] == v, (want["t"], k, row[k], v)
+
+
+if __name__ == "__main__":
+    # Deliberate regeneration: python tests/test_oracle_parity.py
+    import json, os
+    out = os.path.join(os.path.dirname(__file__), "golden_trajectory.json")
+    with open(out, "w") as f:
+        json.dump(_golden_trajectory_rows(), f, indent=1)
+    print(f"regenerated {out}")
