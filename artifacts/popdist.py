@@ -25,23 +25,24 @@ def main():
     IA = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     cfg = EnvConfig(num_worlds=W, init_agents=IA, max_agents=A)
 
-    @partial(jax.jit, donate_argnums=(0,), static_argnames=("k",))
-    def run(state, key, k):
+    @partial(jax.jit, donate_argnums=(0,))
+    def run(state, key):
         def body(s, kk):
             a = jax.random.randint(kk, (W, A), 0, NUM_ACTIONS)
             s = s.replace(
                 action=jax.nn.one_hot(a, NUM_ACTIONS, dtype=jnp.int32))
             return env_mod.sensor_pass(
                 env_mod.step_systems(s, cfg, True), cfg, True), ()
-        state, _ = jax.lax.scan(body, state, jax.random.split(key, k))
+        state, _ = jax.lax.scan(body, state, jax.random.split(key, 32))
         return state, state.alive.sum(axis=1)
 
     state = init_state(jax.random.key(0), cfg)
     total = 0
     for horizon in (32, 96, 128, 256, 512):
-        state, pops = run(state, jax.random.fold_in(jax.random.key(1), horizon),
-                          horizon - total)
-        total = horizon
+        while total < horizon:
+            state, pops = run(
+                state, jax.random.fold_in(jax.random.key(1), total))
+            total += 32
         p = np.asarray(jax.device_get(pops))
         blk = p.reshape(-1, 8).max(axis=1)          # wb=8 block max
         srt = np.sort(p)

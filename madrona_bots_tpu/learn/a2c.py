@@ -26,7 +26,7 @@ import optax
 from madrona_bots_tpu.config import NUM_ACTIONS, EnvConfig
 from madrona_bots_tpu.env import env as env_mod
 from madrona_bots_tpu.env.state import WorldState
-from madrona_bots_tpu.learn.obs import construct_obs
+from madrona_bots_tpu.learn.obs import compact_obs_rows, construct_obs
 from madrona_bots_tpu.models.actor_critic import ActorCritic, compute_loss
 
 f32 = jnp.float32
@@ -168,14 +168,24 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
         Asub = A // NS
         Nc = W * Asub
         obs_dtype = f32 if compute_dtype is None else compute_dtype
-        obs_cur = construct_obs(state, cfg, prev=False,
-                                quirk_compat=quirk_compat, dtype=obs_dtype)
-        obs_prev = construct_obs(state, cfg, prev=True,
-                                 quirk_compat=quirk_compat, dtype=obs_dtype)
-        D = obs_cur.shape[-1]
+        D = cfg.obs_dim
+        compacting = (Lcap is not None and Lcap < Asub)
+        if not compacting:
+            # Full-capacity path materializes the [W, A, D] obs tensors;
+            # the compacted path below never builds them (per-field
+            # compaction in compact_obs_rows — VERDICT r3 item 3).
+            obs_cur = construct_obs(state, cfg, prev=False,
+                                    quirk_compat=quirk_compat, dtype=obs_dtype)
+            obs_prev = construct_obs(state, cfg, prev=True,
+                                     quirk_compat=quirk_compat, dtype=obs_dtype)
+            obs_cur4 = obs_cur.reshape(W, Asub, NS, D)
+            obs_prev4 = obs_prev.reshape(W, Asub, NS, D)
+
+        def class_view(x, s):
+            """[W, A(, k)] -> this species-class's [W, Asub(, k)] rows."""
+            return x.reshape((W, Asub, NS) + x.shape[2:])[:, :, s]
+
         H = state.hidden.shape[-1]
-        obs_cur4 = obs_cur.reshape(W, Asub, NS, D)
-        obs_prev4 = obs_prev.reshape(W, Asub, NS, D)
         mem4 = state.hidden.reshape(W, Asub, NS, H)
         mem_prev4 = state.prev_hidden.reshape(W, Asub, NS, H)
         rewards3 = state.reward.reshape(W, Asub, NS)
@@ -202,7 +212,6 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
                 oh = ((rank[:, None, :] == jnp.arange(rows)[None, :, None])
                       & keep[:, None, :])                   # [W, rows, Asub]
                 oh_f = oh.astype(f32)
-                oh_c = oh.astype(obs_dtype)
 
                 def compact(x3, oh_=None):
                     """[W, Asub(, D)] -> [W*rows(, D)] via exact one-hot."""
@@ -227,8 +236,20 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
                 mask = compact(mask3.astype(f32)).reshape(W * rows)
                 loss_mask = compact(lm3.astype(f32)).reshape(W * rows)
                 up = dict(
-                    obs_cur=compact(obs_cur4[:, :, s], oh_c),
-                    obs_prev=compact(obs_prev4[:, :, s], oh_c),
+                    obs_cur=compact_obs_rows(
+                        class_view(state.sensor_depth, s),
+                        class_view(state.health, s),
+                        class_view(state.pos, s),
+                        class_view(state.sensor_semantic, s),
+                        class_view(state.surrounding, s),
+                        oh, quirk_compat=quirk_compat, dtype=obs_dtype),
+                    obs_prev=compact_obs_rows(
+                        class_view(state.prev_sensor_depth, s),
+                        class_view(state.prev_health, s),
+                        class_view(state.prev_pos, s),
+                        class_view(state.prev_sensor_semantic, s),
+                        class_view(state.prev_surrounding, s),
+                        oh, quirk_compat=quirk_compat, dtype=obs_dtype),
                     mem=compact(mem4[:, :, s]),
                     mem_prev=compact(mem_prev4[:, :, s]),
                     prev_act=compact(

@@ -42,6 +42,7 @@ from madrona_bots_tpu.config import NUM_ACTIONS, EnvConfig
 from madrona_bots_tpu.env import env as env_mod
 from madrona_bots_tpu.env.state import WorldState
 from madrona_bots_tpu.learn.a2c import SpeciesTrainState
+from madrona_bots_tpu.learn.obs import compact_obs_rows
 from madrona_bots_tpu.models.actor_critic import ActorCritic
 
 f32 = jnp.float32
@@ -132,12 +133,17 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
         rows = (Asub if not compact_rollout or learner_slots_per_class is None
                 or learner_slots_per_class >= Asub else learner_slots_per_class)
         Nc = W * rows
-        obs = _flat_obs(state.sensor_depth, state.health, state.pos,
-                        state.sensor_semantic, state.surrounding,
-                        f32 if cd is None else cd)
-        D = obs.shape[-1]
+        obs_dtype = f32 if cd is None else cd
+        if rows == Asub:
+            obs = _flat_obs(state.sensor_depth, state.health, state.pos,
+                            state.sensor_semantic, state.surrounding,
+                            obs_dtype)
+            obs4 = obs.reshape(W, Asub, NS, obs.shape[-1])
         H = state.hidden.shape[-1]
-        obs4 = obs.reshape(W, Asub, NS, D)
+
+        def cls(x, s):
+            return x.reshape((W, Asub, NS) + x.shape[2:])[:, :, s]
+
         mem4 = state.hidden.reshape(W, Asub, NS, H)
         alive3 = state.alive.reshape(W, Asub, NS)
         sp3 = state.species.reshape(W, Asub, NS)
@@ -155,7 +161,6 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
                 oh = ((rank[:, None, :] == jnp.arange(rows)[None, :, None])
                       & keep[:, None, :])                        # [W, r, Asub]
                 oh_f = oh.astype(f32)
-                oh_c = oh.astype(f32 if cd is None else cd)
 
                 def gath(x4, o):
                     out = jnp.einsum("gka,gad->gkd", o, x4.astype(o.dtype),
@@ -169,11 +174,16 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
                                      preferred_element_type=f32, precision=_HI)
                     return out.astype(dtype)                     # [W, Asub, d]
 
-                o_in = gath(obs4[:, :, s], oh_c)
+                # Per-field compaction: never materializes the full
+                # [W, A, 69] obs tensor (learn/obs.py:compact_obs_rows).
+                o_in = compact_obs_rows(
+                    cls(state.sensor_depth, s), cls(state.health, s),
+                    cls(state.pos, s), cls(state.sensor_semantic, s),
+                    cls(state.surrounding, s), oh, dtype=obs_dtype)
                 m_in = gath(mem4[:, :, s], oh_f)
                 mk = gath(m3.astype(f32)[..., None], oh_f)[:, 0]
             else:
-                o_in = obs4[:, :, s].reshape(Nc, D)
+                o_in = obs4[:, :, s].reshape(Nc, obs4.shape[-1])
                 m_in = mem4[:, :, s].reshape(Nc, H)
                 mk = m3.reshape(Nc).astype(f32)
             logits, v, h = _fwd(s, params_list[s], o_in, m_in)
@@ -311,10 +321,24 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
                 compact = lambda x: x
                 dropped = jnp.int32(0)
 
-            obs_all = compact(_flat_obs(
-                fl(roll.depth, s), fl(roll.health, s), fl(roll.pos, s),
-                fl(roll.semantic, s), fl(roll.surrounding, s),
-                f32 if cd is None else cd))
+            def fl3(x, s):
+                """[T, W, A, ...] -> [T*W, Asub, ...] class rows."""
+                x4 = x.reshape((T, W, Asub, NS) + x.shape[3:])
+                return x4[:, :, :, s].reshape((T * W, Asub) + x.shape[3:])
+
+            if rows < Asub:
+                # Per-field compaction straight from the rollout records —
+                # the full [B, 69] obs buffer is never built.
+                obs_all = compact_obs_rows(
+                    fl3(roll.depth, s), fl3(roll.health, s),
+                    fl3(roll.pos, s), fl3(roll.semantic, s),
+                    fl3(roll.surrounding, s), oh,
+                    dtype=f32 if cd is None else cd)
+            else:
+                obs_all = _flat_obs(
+                    fl(roll.depth, s), fl(roll.health, s), fl(roll.pos, s),
+                    fl(roll.semantic, s), fl(roll.surrounding, s),
+                    f32 if cd is None else cd)
             mask_sp = compact(mask_full.astype(f32)) > 0.5
 
             def mb_major(x):

@@ -168,9 +168,318 @@ def _kernel(posx_ref, posy_ref, heading_ref, alive_ref, offs_ref,
             src_alive & (f_t[w] < _INF), f_arg[w], -1)
 
 
+# ---------------------------------------------------------------------------
+# v3: pair-packed kernel over rank-compacted source lanes
+# ---------------------------------------------------------------------------
+#
+# The v2 kernel above wastes the lane axis: at the bench steady state only
+# ~33 of the 128 source lanes are alive, yet every (world, target) visit pays
+# a full [S, A] tile of VPU work. Measured population is tightly clustered
+# (mean 33, p95 36, max 44 at 8192 worlds — artifacts/popdist.py), so TWO
+# worlds' alive sources always fit the lane axis: rank-compact each world's
+# alive agents into A/2 lanes and pack a pair of worlds per tile. Each visit
+# then folds one target of EACH world (its scalars broadcast to that world's
+# lane half), halving the dominant fan cost. Pairs that do not fit (pop >
+# A/2, e.g. saturated runs) take a mode-1 branch that sweeps all A original
+# slots. Bit-exact vs v2/the jnp reference: per-lane arithmetic is identical
+# (same f32 values in compacted lanes — transport is exact via bf16x3
+# splits), and the target fold order is ascending slots in both modes.
+
+
+def _bf16_split3(x):
+    """f32 -> 3 bf16 parts with h1+h2+h3 == x exactly (8+8+8 mantissa bits;
+    each residual is Sterbenz-exact). Lets float payloads ride a bf16 MXU
+    one-hot einsum without TPU's f32->bf16 operand truncation.
+
+    The rounding steps use lax.reduce_precision, NOT astype round-trips:
+    XLA's allow-excess-precision pass elides convert(convert(x, bf16), f32)
+    on TPU, which silently zeroes the residuals (h2 == h3 == 0 — caught by
+    artifacts/hw_kernel_parity.py, invisible on CPU)."""
+    h1 = jax.lax.reduce_precision(x, 8, 7)      # bf16-valued, f32 dtype
+    r1 = x - h1
+    h2 = jax.lax.reduce_precision(r1, 8, 7)
+    h3 = r1 - h2                                # <= 8 significant bits
+    return (h1.astype(jnp.bfloat16), h2.astype(jnp.bfloat16),
+            h3.astype(jnp.bfloat16))
+
+
+def _kernel_packed(offs_ref, px_ref, py_ref, hd_ref, alive_ref,
+                   pkx_ref, pky_ref, pkh_ref, pks_ref,
+                   posx_s, posy_s, species_s, alive_s,
+                   cx_s, cy_s, cslot_s, cspec_s, n_s, mode_s,
+                   depth_ref, semantic_ref, finder_ref,
+                   *, cfg: EnvConfig, pairs: int):
+    S = cfg.sensor_size
+    A = px_ref.shape[1]
+    half = A // 2
+    r2 = jnp.float32(cfg.agent_radius * cfg.agent_radius)
+    near = jnp.float32(cfg.near)
+    limx = jnp.float32(cfg.world_lim_x)
+    limy = jnp.float32(cfg.world_lim_y)
+    scale = jnp.float32(255.0 / cfg.max_range)
+
+    offs = offs_ref[...].reshape(S, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, A), 1)
+    half0 = lane < half
+    safe = lambda d: jnp.where(d == 0, 1.0, d)
+
+    def make_visit(px, py, cos_a, sin_a, cos_h, sin_h, srcslot):
+        """One target fold; rows are [1, A] per-lane target broadcasts."""
+        def visit(carry, tx, ty, tslot, tsp, valid):
+            t_min, sem_min, f_min, f_arg = carry
+            ocx = tx - px
+            ocy = ty - py
+            oc2 = ocx * ocx + ocy * ocy
+            ok = valid & (srcslot != tslot)
+            q = jnp.where(ok, r2 - oc2, -_INF)                   # [1, A]
+
+            t_c = cos_a * ocx + sin_a * ocy                      # [S, A]
+            disc = t_c * t_c + q
+            t_hit = t_c - jnp.sqrt(jnp.maximum(disc, 0.0))
+            thit_v = jnp.where((disc >= 0) & (t_hit > near), t_hit, _INF)
+            closer = thit_v < t_min
+            t_min = jnp.minimum(thit_v, t_min)
+            sem_min = jnp.where(closer, tsp, sem_min)
+
+            ft_c = cos_h * ocx + sin_h * ocy                     # [1, A]
+            fdisc = ft_c * ft_c + q
+            ft = ft_c - jnp.sqrt(jnp.maximum(fdisc, 0.0))
+            ft_v = jnp.where((fdisc >= 0) & (ft > near), ft, _INF)
+            fcloser = ft_v < f_min
+            f_min = jnp.minimum(ft_v, f_min)
+            f_arg = jnp.where(fcloser, tslot, f_arg)
+            return t_min, sem_min, f_min, f_arg
+        return visit
+
+    def finalize(px, py, cos_a, sin_a, t_agent, sem_agent, f_t, f_arg):
+        """Wall pass + encoding — identical arithmetic to the v2 epilogue."""
+        tx_w = jnp.minimum(
+            jnp.where(cos_a > 0, (limx - px) / safe(cos_a), _INF),
+            jnp.where(cos_a < 0, -px / safe(cos_a), _INF))
+        ty_w = jnp.minimum(
+            jnp.where(sin_a > 0, (limy - py) / safe(sin_a), _INF),
+            jnp.where(sin_a < 0, -py / safe(sin_a), _INF))
+        t_wall = jnp.minimum(tx_w, ty_w)
+        t_wall = jnp.where(t_wall > near, t_wall, _INF)
+        agent_wins = t_agent < t_wall
+        t = jnp.minimum(t_agent, t_wall)
+        any_hit = t < _INF
+        semantic = jnp.where(any_hit,
+                             jnp.where(agent_wins, sem_agent, 0), -1)
+        db = 255 - jnp.minimum(jnp.floor(t * scale), 255.0).astype(jnp.int32)
+        depth = jnp.where(any_hit, db, 0)
+        finder = jnp.where(f_t < _INF, f_arg, -1)
+        return depth, semantic, finder
+
+    def carry0():
+        return (jnp.full((S, A), _INF, jnp.float32),
+                jnp.zeros((S, A), jnp.int32),
+                jnp.full((1, A), _INF, jnp.float32),
+                jnp.full((1, A), -1, jnp.int32))
+
+    for p in range(pairs):
+        w0, w1 = 2 * p, 2 * p + 1
+
+        @pl.when(mode_s[p, 0] == 1)
+        def _packed(p=p, w0=w0, w1=w1):
+            px = pkx_ref[p:p + 1, :]
+            py = pky_ref[p:p + 1, :]
+            hd = pkh_ref[p:p + 1, :]
+            srcslot = pks_ref[p:p + 1, :]
+            ang = hd + offs
+            cos_a, sin_a = jnp.cos(ang), jnp.sin(ang)
+            cos_h, sin_h = jnp.cos(hd), jnp.sin(hd)
+            n0 = n_s[w0, 0]
+            n1 = n_s[w1, 0]
+            nv = jnp.where(half0, n0, n1)                        # [1, A]
+            visit = make_visit(px, py, cos_a, sin_a, cos_h, sin_h, srcslot)
+
+            def one(b, carry):
+                b_safe = jnp.minimum(b, half - 1)
+                tx = jnp.where(half0, cx_s[w0, b_safe], cx_s[w1, b_safe])
+                ty = jnp.where(half0, cy_s[w0, b_safe], cy_s[w1, b_safe])
+                tslot = jnp.where(half0, cslot_s[w0, b_safe],
+                                  cslot_s[w1, b_safe])
+                tsp = jnp.where(half0, cspec_s[w0, b_safe],
+                                cspec_s[w1, b_safe])
+                return visit(carry, tx, ty, tslot, tsp, nv > b)
+
+            def body(i, carry):
+                for j in range(4):
+                    carry = one(4 * i + j, carry)
+                return carry
+
+            nmax = jnp.maximum(n0, n1)
+            t_a, sem_a, f_t, f_arg = jax.lax.fori_loop(
+                0, (nmax + 3) // 4, body, carry0())
+            depth, semantic, finder = finalize(px, py, cos_a, sin_a,
+                                               t_a, sem_a, f_t, f_arg)
+            # Split the packed tile back into per-world compacted-lane rows:
+            # world0 owns lanes [:half], world1 lanes [half:] (rolled down).
+            for w, tile_sel in ((w0, lambda x: x),
+                                (w1, lambda x: pltpu.roll(x, half, 1))):
+                dw = jnp.where(half0, tile_sel(depth), 0)
+                sw = jnp.where(half0, tile_sel(semantic), -1)
+                fw = jnp.where(half0, tile_sel(finder), -1)
+                depth_ref[w] = dw.astype(jnp.uint8)
+                semantic_ref[w] = sw.astype(jnp.int8)
+                finder_ref[w:w + 1, :] = fw
+
+        @pl.when(mode_s[p, 0] == 0)
+        def _single(p=p, w0=w0, w1=w1):
+            # Fallback for pairs that exceed half-lane capacity: per-world
+            # sweep over ALL original slots (dead targets fold as no-ops),
+            # outputs in original slot lanes.
+            for w in (w0, w1):
+                px = px_ref[w:w + 1, :]
+                py = py_ref[w:w + 1, :]
+                hd = hd_ref[w:w + 1, :]
+                src_alive = alive_ref[w:w + 1, :] != 0
+                ang = hd + offs
+                cos_a, sin_a = jnp.cos(ang), jnp.sin(ang)
+                cos_h, sin_h = jnp.cos(hd), jnp.sin(hd)
+                visit = make_visit(px, py, cos_a, sin_a, cos_h, sin_h, lane)
+
+                def one(b, carry, w=w, visit=visit):
+                    tx = jnp.full((1, A), posx_s[w, b])
+                    ty = jnp.full((1, A), posy_s[w, b])
+                    tslot = jnp.full((1, A), b)
+                    tsp = jnp.full((1, A), species_s[w, b])
+                    valid = jnp.full((1, A), alive_s[w, b] != 0)
+                    return visit(carry, tx, ty, tslot, tsp, valid)
+
+                def body(i, carry, one=one):
+                    for j in range(4):
+                        carry = one(4 * i + j, carry)
+                    return carry
+
+                t_a, sem_a, f_t, f_arg = jax.lax.fori_loop(
+                    0, A // 4, body, carry0())
+                depth, semantic, finder = finalize(px, py, cos_a, sin_a,
+                                                   t_a, sem_a, f_t, f_arg)
+                depth_ref[w] = jnp.where(src_alive, depth, 0).astype(jnp.uint8)
+                semantic_ref[w] = jnp.where(src_alive, semantic,
+                                            -1).astype(jnp.int8)
+                finder_ref[w:w + 1, :] = jnp.where(src_alive, finder, -1)
+
+
+def _legal_pairs_block(W: int, want: int = 8):
+    """Mosaic requires the second-minor block dim be a multiple of 8 or
+    equal to the array dim: the (2P, A) blocks need 2P % 8 == 0 (or == W)
+    and the (P, A) packed blocks need P % 8 == 0 (or == W//2)."""
+    npair = W // 2
+    for p in (want, 8, 4, 2, 1):
+        if npair % p:
+            continue
+        if ((2 * p) % 8 == 0 or 2 * p == W) and (p % 8 == 0 or p == npair):
+            return p
+    return None
+
+
+@partial(jax.jit, static_argnames=("cfg", "pairs_per_block", "interpret"))
+def raycast_pallas_packed(pos, heading, alive, species, cfg: EnvConfig,
+                          pairs_per_block: int = 4, interpret: bool = False):
+    """Pair-packed production raycast — same signature/outputs as
+    env.raycast.raycast. Requires W even, A even, A % 4 == 0, A <= 255."""
+    W, A = heading.shape
+    S = cfg.sensor_size
+    half = A // 2
+    P = _legal_pairs_block(W, pairs_per_block)
+    if P is None:
+        if interpret:  # CPU tests: no Mosaic block-shape constraint
+            P = next(p for p in (pairs_per_block, 4, 2, 1)
+                     if (W // 2) % p == 0)
+        else:
+            raise ValueError(f"no legal pairs_per_block for W={W}; "
+                             "use raycast_pallas_blocked")
+
+    posx = pos[..., 0]
+    posy = pos[..., 1]
+    alive_i = alive.astype(jnp.int32)
+    offs = jnp.asarray(ray_angle_offsets(cfg)).reshape(1, S)
+
+    # Rank compaction to A/2 lanes: ONE bf16 one-hot einsum transports all
+    # packed fields (floats as exact bf16x3 splits, ids/species directly —
+    # every |value| <= 255 or split part is bf16-exact, <= 1 nonzero per
+    # sum, f32 accumulation).
+    rank = jnp.cumsum(alive_i, axis=1) - 1                       # [W, A]
+    roh = (jnp.where(alive, rank, -1)[:, :, None]
+           == jnp.arange(half)[None, None, :]).astype(jnp.bfloat16)
+    lane_ids = jnp.broadcast_to(
+        jnp.arange(A, dtype=jnp.float32)[None, :], (W, A))
+    cols = (*_bf16_split3(posx), *_bf16_split3(posy), *_bf16_split3(heading),
+            lane_ids.astype(jnp.bfloat16),
+            species.astype(jnp.bfloat16))
+    payload = jnp.stack(cols, axis=-1)                           # [W, A, 11]
+    pk = jnp.einsum("war,waf->wrf", roh, payload,
+                    preferred_element_type=jnp.float32)          # [W, half, 11]
+    cx = pk[..., 0] + pk[..., 1] + pk[..., 2]                    # exact f32
+    cy = pk[..., 3] + pk[..., 4] + pk[..., 5]
+    ch = pk[..., 6] + pk[..., 7] + pk[..., 8]
+    cslot = pk[..., 9].astype(jnp.int32)
+    cspec = pk[..., 10].astype(jnp.int32)
+
+    n_alive = jnp.sum(alive_i, axis=1, keepdims=True)            # [W, 1]
+    mode = (n_alive.reshape(W // 2, 2).max(axis=1, keepdims=True)
+            <= half).astype(jnp.int32)                           # [W/2, 1]
+
+    pkx = cx.reshape(W // 2, A)
+    pky = cy.reshape(W // 2, A)
+    pkh = ch.reshape(W // 2, A)
+    pks = cslot.reshape(W // 2, A)
+
+    vm = pltpu.VMEM
+    sm = pltpu.SMEM
+    b2 = pl.BlockSpec((2 * P, A), lambda i: (i, 0), memory_space=vm)
+    b1 = pl.BlockSpec((P, A), lambda i: (i, 0), memory_space=vm)
+    offs_spec = pl.BlockSpec((1, S), lambda i: (0, 0), memory_space=vm)
+    s2 = pl.BlockSpec((2 * P, A), lambda i: (i, 0), memory_space=sm)
+    s2h = pl.BlockSpec((2 * P, half), lambda i: (i, 0), memory_space=sm)
+    s2n = pl.BlockSpec((2 * P, 1), lambda i: (i, 0), memory_space=sm)
+    s1m = pl.BlockSpec((P, 1), lambda i: (i, 0), memory_space=sm)
+    out3 = pl.BlockSpec((2 * P, S, A), lambda i: (i, 0, 0), memory_space=vm)
+    out2 = pl.BlockSpec((2 * P, A), lambda i: (i, 0), memory_space=vm)
+
+    depth_t, semantic_t, finder_t = pl.pallas_call(
+        partial(_kernel_packed, cfg=cfg, pairs=P),
+        grid=(W // (2 * P),),
+        in_specs=[offs_spec, b2, b2, b2, b2, b1, b1, b1, b1,
+                  s2, s2, s2, s2, s2h, s2h, s2h, s2h, s2n, s1m],
+        out_specs=(out3, out3, out2),
+        out_shape=(
+            jax.ShapeDtypeStruct((W, S, A), jnp.uint8),
+            jax.ShapeDtypeStruct((W, S, A), jnp.int8),
+            jax.ShapeDtypeStruct((W, A), jnp.int32),
+        ),
+        interpret=interpret,
+    )(offs, posx, posy, heading, alive_i, pkx, pky, pkh, pks,
+      posx, posy, species, alive_i, cx, cy, cslot, cspec, n_alive, mode)
+
+    # Expand packed-mode worlds from compacted lanes back to slots with the
+    # SAME one-hot (transposed contraction), all outputs in one einsum
+    # (integer payloads <= 255: bf16-exact).
+    payl = jnp.concatenate([
+        depth_t[:, :, :half].transpose(0, 2, 1).astype(jnp.bfloat16),
+        semantic_t[:, :, :half].transpose(0, 2, 1).astype(jnp.bfloat16),
+        finder_t[:, :half, None].astype(jnp.bfloat16),
+    ], axis=-1)                                                  # [W, half, 2S+1]
+    exp = jnp.einsum("war,wrf->waf", roh, payl,
+                     preferred_element_type=jnp.float32)         # [W, A, 2S+1]
+    is2 = (mode[:, 0:1].repeat(2, axis=1).reshape(W, 1) == 1)    # [W, 1]
+    depth = jnp.where(is2[..., None], exp[..., :S].astype(jnp.uint8),
+                      depth_t.transpose(0, 2, 1))
+    semantic = jnp.where(is2[..., None], exp[..., S:2 * S].astype(jnp.int8),
+                         semantic_t.transpose(0, 2, 1))
+    finder = jnp.where(is2, exp[..., 2 * S].astype(jnp.int32), finder_t)
+    depth = jnp.where(alive[..., None], depth, 0)
+    semantic = jnp.where(alive[..., None], semantic, -1)
+    finder = jnp.where(alive, finder, -1)
+    return depth, semantic, finder
+
+
 @partial(jax.jit, static_argnames=("cfg", "worlds_per_block", "interpret"))
-def raycast_pallas(pos, heading, alive, species, cfg: EnvConfig,
-                   worlds_per_block: int = 8, interpret: bool = False):
+def raycast_pallas_blocked(pos, heading, alive, species, cfg: EnvConfig,
+                           worlds_per_block: int = 8, interpret: bool = False):
     """Drop-in replacement for env.raycast.raycast (same signature/outputs)."""
     W, A = heading.shape
     S = cfg.sensor_size
@@ -229,3 +538,20 @@ def raycast_pallas(pos, heading, alive, species, cfg: EnvConfig,
 
     # Kernel layout is [W, S, A]; public layout is [W, A, S].
     return (depth_t.transpose(0, 2, 1), semantic_t.transpose(0, 2, 1), finder)
+
+
+def raycast_pallas(pos, heading, alive, species, cfg: EnvConfig,
+                   worlds_per_block: int = 8, interpret: bool = False):
+    """Production sensor pass: the pair-packed kernel when the shape allows
+    (W even, A % 4 == 0, slot ids bf16-exact), else the v2 blocked kernel.
+    MBOTS_RAYCAST_PACKED=0 forces the v2 path for A/B comparisons."""
+    import os
+    W, A = heading.shape
+    if (W % 2 == 0 and A % 4 == 0 and A <= 255
+            and _legal_pairs_block(W) is not None
+            and os.environ.get("MBOTS_RAYCAST_PACKED", "1") == "1"):
+        return raycast_pallas_packed(pos, heading, alive, species, cfg,
+                                     interpret=interpret)
+    return raycast_pallas_blocked(pos, heading, alive, species, cfg,
+                                  worlds_per_block=worlds_per_block,
+                                  interpret=interpret)

@@ -117,3 +117,46 @@ def test_pallas_odd_capacity():
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+
+
+@pytest.mark.parametrize("density", [0.3, 0.45, 0.9])
+def test_pallas_packed_modes_match_reference(density):
+    """The pair-packed kernel (v3) must equal the jnp reference elementwise
+    in BOTH branches: density 0.3 -> every pair fits the half-lane quota
+    (mode-2), 0.9 -> none do (mode-1 sweep), 0.45 -> mixed pairs."""
+    from madrona_bots_tpu.ops.raycast_pallas import raycast_pallas_packed
+    cfg = EnvConfig(num_worlds=6, init_agents=16, max_agents=32)
+    k = jax.random.key(int(density * 100))
+    W, A = 6, 32
+    pos = jax.random.uniform(k, (W, A, 2)) * jnp.array([127.0, 95.0])
+    heading = jax.random.uniform(jax.random.fold_in(k, 1), (W, A)) * 6.28
+    alive = jax.random.uniform(jax.random.fold_in(k, 2), (W, A)) < density
+    species = jax.random.randint(jax.random.fold_in(k, 3), (W, A), 1, 5)
+    pops = np.asarray(alive.sum(axis=1)).reshape(-1, 2).max(axis=1)
+    if density == 0.3:
+        assert (pops <= A // 2).all()
+    if density == 0.9:
+        assert (pops > A // 2).all()
+
+    d1, s1, f1 = raycast(pos, heading, alive, species, cfg)
+    d2, s2, f2 = raycast_pallas_packed(pos, heading, alive, species, cfg,
+                                       interpret=True)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+def test_pallas_packed_matches_blocked_kernel():
+    """v3 == v2 bit-exact on the same inputs (the production-path swap is
+    invisible)."""
+    from madrona_bots_tpu.ops.raycast_pallas import (raycast_pallas_blocked,
+                                                     raycast_pallas_packed)
+    cfg = EnvConfig(num_worlds=4, init_agents=8, max_agents=16)
+    from madrona_bots_tpu.env.state import init_state
+    s = init_state(jax.random.key(3), cfg)
+    a = raycast_pallas_packed(s.pos, s.heading, s.alive, s.species, cfg,
+                              interpret=True)
+    b = raycast_pallas_blocked(s.pos, s.heading, s.alive, s.species, cfg,
+                               interpret=True)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
