@@ -87,9 +87,16 @@ def _species_update(model: ActorCritic, optimizer, ts: SpeciesTrainState,
     logits, v_new, new_mem = _fwd(ts.params, obs_cur, mem_cur)
     actions = jax.random.categorical(key, logits, axis=-1)
 
+    # Remat the in-loss forward: recomputing the ~6 [N, hidden] activation
+    # tensors in the backward beats storing them to HBM (same rationale as
+    # ppo.py _fwd_remat).
+    import os as _os
+    _fwd_remat = (jax.checkpoint(_fwd)
+                  if _os.environ.get("MBOTS_A2C_REMAT", "1") == "1" else _fwd)
+
     def loss_fn(params):
         # Prev forward: pi(a_prev | s_prev), V(s_prev) (training_loop.py:87-94).
-        logits_p, v_prev, _ = _fwd(params, obs_prev, mem_prev)
+        logits_p, v_prev, _ = _fwd_remat(params, obs_prev, mem_prev)
         if proper_log_probs:
             logp_all = jax.nn.log_softmax(logits_p, axis=-1)
         else:

@@ -66,57 +66,52 @@ def compact_obs_rows(depth, health, pos, semantic, surrounding, oh,
     full-capacity obs tensor.
 
     Equivalent to `construct_obs(...)` on a class view followed by the
-    one-hot row gather (bit-identical: each field is cast to the transport
-    dtype at the same point the full path casts it), but the [G, A?, 69]
-    intermediate never exists — each raw field is gathered separately and
-    the 69-dim concat happens at compacted width. This removes the two
-    full [W, A, 69] obs builds from the fused A2C tick and the [B, 69]
-    build from the PPO update path (VERDICT r2 items 2-3).
+    one-hot row gather (each field cast to the transport dtype at the same
+    point the full path casts it), except the quirk Q2 health column,
+    which the old composition silently zeroed: its int-bits-as-f32 values
+    are denormals that any matmul transport flushes, so here the INT rides
+    the einsum (exact, <= 100) and the bitcast happens post-compaction.
+    The full-capacity [W, A, 69] obs tensor is never materialized
+    (class-width payload only), and the whole build is ONE einsum.
 
     Args: per-class fields [G, Asub(, k)]; oh [G, rows, Asub] bool one-hot
     (ascending rank compaction). Returns [G*rows, 69] in `dtype`.
 
     Transport exactness: integer payloads (depth u8 <= 255, semantic i8,
-    health <= 100) ride bf16 operands exactly (<= 1 nonzero per sum, f32
-    accumulation, |int| <= 256 representable); float payloads either cast
-    to bf16 FIRST when dtype is bf16 (matching construct_obs's cast point)
-    or ride f32 operands at HIGHEST precision (TPU default would truncate
-    them to bf16 — CLAUDE.md).
+    health <= 100) are exact in either operand dtype (<= 1 nonzero per
+    sum, f32 accumulation); float payloads either cast to bf16 FIRST when
+    dtype is bf16 (matching construct_obs's cast point) or ride f32
+    operands at HIGHEST precision (TPU default would truncate them to
+    bf16 — CLAUDE.md).
     """
     G, rows, Asub = oh.shape
-    oh_b = oh.astype(jnp.bfloat16)
-    oh_f = oh.astype(f32)
-
-    def tr(x, operand_dtype, precision=None):
-        xd = x if x.ndim == 3 else x[..., None]
-        o = oh_b if operand_dtype == jnp.bfloat16 else oh_f
-        return jnp.einsum("gka,gad->gkd", o, xd.astype(operand_dtype),
-                          preferred_element_type=f32, precision=precision)
-
-    def tr_float(x):
-        # Float payload: match construct_obs's cast ordering exactly.
-        if dtype == jnp.bfloat16:
-            return tr(x, jnp.bfloat16).astype(dtype)
-        return tr(x, f32, precision=jax.lax.Precision.HIGHEST).astype(dtype)
-
-    sem_c = tr(semantic, jnp.bfloat16)                     # f32 ints [G,r,S]
+    S = depth.shape[-1]
     if quirk_compat:
-        # Q1: the depth block carries the semantic bytes (uint8 view of the
-        # int8 storage, sim.cpp:98-104).
-        depth_c = jnp.round(sem_c).astype(jnp.int8).view(jnp.uint8).astype(dtype)
-        # Q2: health column = int32 storage bit-reinterpreted as float32
-        # (mgr.cpp:329-346); bitcast AFTER exact integer transport (the
-        # bit patterns are denormals — TPU arithmetic would flush them).
-        h_int = jnp.round(tr(health, jnp.bfloat16)).astype(jnp.int32)
-        health_c = jax.lax.bitcast_convert_type(h_int, f32).astype(dtype)
+        # Q1: the depth block carries the semantic bytes (uint8 view of
+        # the int8 storage, sim.cpp:98-104). Q2 (health bitcast) is applied
+        # AFTER transport — see below.
+        depth = semantic.astype(jnp.uint8)
+    # ONE einsum per call (many small per-field einsums cost ~0.2 ms of
+    # dispatch each on v5e — measured 9 ms/tick of pure overhead): all
+    # fields concat into a single payload at CLASS width. In the quirk
+    # case the health column rides as its INTEGER value (exact: <= 100,
+    # bf16-representable) and is bit-reinterpreted post-compaction — a
+    # matmul would flush the int-bits-as-f32 denormals to zero.
+    payload = jnp.concatenate([
+        depth.astype(dtype), health[..., None].astype(dtype)
+        if not quirk_compat else health[..., None].astype(jnp.int32).astype(dtype),
+        pos.astype(dtype), semantic.astype(dtype),
+        surrounding.astype(dtype)], axis=-1)               # [G, Asub, D]
+    if dtype == jnp.bfloat16:
+        out = jnp.einsum("gka,gad->gkd", oh.astype(jnp.bfloat16), payload,
+                         preferred_element_type=f32).astype(dtype)
     else:
-        depth_c = tr(depth, jnp.bfloat16).astype(dtype)
-        health_c = tr(health, jnp.bfloat16).astype(dtype)
-    out = jnp.concatenate([
-        depth_c,
-        health_c,
-        tr_float(pos),
-        sem_c.astype(dtype),
-        tr_float(surrounding),
-    ], axis=-1)
+        out = jnp.einsum("gka,gad->gkd", oh.astype(f32), payload,
+                         preferred_element_type=f32,
+                         precision=jax.lax.Precision.HIGHEST)
+    if quirk_compat:
+        h_int = jnp.round(out[..., S:S + 1].astype(f32)).astype(jnp.int32)
+        h_col = jax.lax.bitcast_convert_type(h_int, f32).astype(dtype)
+        out = jnp.concatenate([out[..., :S], h_col, out[..., S + 1:]],
+                              axis=-1)
     return out.reshape(G * rows, out.shape[-1])

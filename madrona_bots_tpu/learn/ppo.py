@@ -119,6 +119,13 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
             mem if cd is None else mem.astype(cd))
         return logits.astype(f32), v.astype(f32), h.astype(f32)
 
+    # Rematerialized forward for the update loss: without checkpointing,
+    # every minibatch backward stores ~6 [mb, hidden] activation tensors
+    # to HBM (~600 MB per 393k-row update) — the dominant update cost on
+    # v5e. Recomputing them in the backward trades ~1/3 more FLOPs for
+    # that traffic.
+    _fwd_remat = jax.checkpoint(_fwd, static_argnums=(0,))
+
     def policy_step(params_list, state: WorldState, key):
         """Sample actions for every species; returns [W, A]-shaped records.
 
@@ -369,7 +376,7 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
                 var = jnp.sum((adv - mu) ** 2 * w) / denom
                 adv_n = (adv - mu) * jax.lax.rsqrt(var + 1e-8)
 
-                logits, v, _ = _fwd(s, params, o, m)
+                logits, v, _ = _fwd_remat(s, params, o, m)
                 lsm_new = jax.nn.log_softmax(logits, -1)
                 logp_new = jnp.sum(
                     lsm_new * jax.nn.one_hot(a, lsm_new.shape[-1],

@@ -208,7 +208,7 @@ def _kernel_packed(offs_ref, px_ref, py_ref, hd_ref, alive_ref,
                    posx_s, posy_s, species_s, alive_s,
                    cx_s, cy_s, cslot_s, cspec_s, n_s, mode_s,
                    depth_ref, semantic_ref, finder_ref,
-                   *, cfg: EnvConfig, pairs: int):
+                   *, cfg: EnvConfig, pairs: int, unroll: int = 4):
     S = cfg.sensor_size
     A = px_ref.shape[1]
     half = A // 2
@@ -305,13 +305,13 @@ def _kernel_packed(offs_ref, px_ref, py_ref, hd_ref, alive_ref,
                 return visit(carry, tx, ty, tslot, tsp, nv > b)
 
             def body(i, carry):
-                for j in range(4):
-                    carry = one(4 * i + j, carry)
+                for j in range(unroll):
+                    carry = one(unroll * i + j, carry)
                 return carry
 
             nmax = jnp.maximum(n0, n1)
             t_a, sem_a, f_t, f_arg = jax.lax.fori_loop(
-                0, (nmax + 3) // 4, body, carry0())
+                0, (nmax + unroll - 1) // unroll, body, carry0())
             depth, semantic, finder = finalize(px, py, cos_a, sin_a,
                                                t_a, sem_a, f_t, f_arg)
             # Split the packed tile back into per-world compacted-lane rows:
@@ -376,9 +376,11 @@ def _legal_pairs_block(W: int, want: int = 8):
     return None
 
 
-@partial(jax.jit, static_argnames=("cfg", "pairs_per_block", "interpret"))
+@partial(jax.jit,
+         static_argnames=("cfg", "pairs_per_block", "interpret", "unroll"))
 def raycast_pallas_packed(pos, heading, alive, species, cfg: EnvConfig,
-                          pairs_per_block: int = 4, interpret: bool = False):
+                          pairs_per_block: int = 8, interpret: bool = False,
+                          unroll: int = 4):
     """Pair-packed production raycast — same signature/outputs as
     env.raycast.raycast. Requires W even, A even, A % 4 == 0, A <= 255."""
     W, A = heading.shape
@@ -441,7 +443,7 @@ def raycast_pallas_packed(pos, heading, alive, species, cfg: EnvConfig,
     out2 = pl.BlockSpec((2 * P, A), lambda i: (i, 0), memory_space=vm)
 
     depth_t, semantic_t, finder_t = pl.pallas_call(
-        partial(_kernel_packed, cfg=cfg, pairs=P),
+        partial(_kernel_packed, cfg=cfg, pairs=P, unroll=unroll),
         grid=(W // (2 * P),),
         in_specs=[offs_spec, b2, b2, b2, b2, b1, b1, b1, b1,
                   s2, s2, s2, s2, s2h, s2h, s2h, s2h, s2n, s1m],
@@ -463,8 +465,10 @@ def raycast_pallas_packed(pos, heading, alive, species, cfg: EnvConfig,
         semantic_t[:, :, :half].transpose(0, 2, 1).astype(jnp.bfloat16),
         finder_t[:, :half, None].astype(jnp.bfloat16),
     ], axis=-1)                                                  # [W, half, 2S+1]
+    # bf16 accumulation is exact here (every payload value is an integer
+    # with |v| <= 255, one nonzero per sum) and halves the output traffic.
     exp = jnp.einsum("war,wrf->waf", roh, payl,
-                     preferred_element_type=jnp.float32)         # [W, A, 2S+1]
+                     preferred_element_type=jnp.bfloat16)        # [W, A, 2S+1]
     is2 = (mode[:, 0:1].repeat(2, axis=1).reshape(W, 1) == 1)    # [W, 1]
     depth = jnp.where(is2[..., None], exp[..., :S].astype(jnp.uint8),
                       depth_t.transpose(0, 2, 1))
