@@ -84,6 +84,33 @@ def main():
         "bit_exact_int_and_pos": all(v == 0 for v in systems_exact.values()),
         "surrounding_max_abs_err": surr_maxerr,
     }
+    # learn/pack.py exact transport ON HARDWARE: XLA's
+    # allow-excess-precision pass elides astype-based bf16 round-trips
+    # (zeroing the 3-way split residuals) — invisible on CPU, so the
+    # split3/Packer contract must be re-proven on the chip.
+    from madrona_bots_tpu.learn.pack import Packer, gather_rows
+    G, K, A = 128, 12, 32
+    kk = jax.random.key(7)
+    xs = (jax.random.normal(kk, (G, A, 8), jnp.float32)
+          * 10.0 ** jax.random.randint(jax.random.fold_in(kk, 1),
+                                       (G, A, 8), -20, 20).astype(jnp.float32))
+    perm = jax.random.uniform(jax.random.fold_in(kk, 2), (G, A)).argsort(1)
+    oh = jax.nn.one_hot(perm[:, :K], A, dtype=jnp.bool_)        # [G, K, A]
+
+    @jax.jit
+    def pack_roundtrip(oh, xs):
+        pk = Packer()
+        pk.add_f32(xs)
+        return pk.unpack(gather_rows(oh, pk.payload()))[0]
+
+    got = np.asarray(jax.device_get(pack_roundtrip(oh, xs)))
+    xs_h, perm_h = np.asarray(jax.device_get(xs)), np.asarray(jax.device_get(perm))
+    want = np.stack([xs_h[g][perm_h[g, :K]] for g in range(G)])
+    pk_mism = int((got != want).sum())
+    report["packer"] = {"f32_split3_mismatches": pk_mism,
+                       "elements_compared": int(want.size),
+                       "bit_exact": pk_mism == 0}
+
     out = "/root/repo/artifacts/HW_KERNEL_PARITY.json"
     with open(out, "w") as f:
         json.dump(report, f, indent=1)

@@ -26,14 +26,11 @@ import optax
 from madrona_bots_tpu.config import NUM_ACTIONS, EnvConfig
 from madrona_bots_tpu.env import env as env_mod
 from madrona_bots_tpu.env.state import WorldState
-from madrona_bots_tpu.learn.obs import compact_obs_rows, construct_obs
+from madrona_bots_tpu.learn.obs import construct_obs, pack_obs_fields
+from madrona_bots_tpu.learn.pack import Packer, gather_rows, scatter_rows
 from madrona_bots_tpu.models.actor_critic import ActorCritic, compute_loss
 
 f32 = jnp.float32
-# f32-payload one-hot einsums need HIGHEST precision on TPU (default matmul
-# truncates f32 operands to bf16 — CLAUDE.md); bf16 payloads are exact at
-# default (one-hot, <= 1 nonzero per sum, f32 accumulation).
-_HI = jax.lax.Precision.HIGHEST
 
 
 class SpeciesTrainState(NamedTuple):
@@ -179,8 +176,8 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
         compacting = (Lcap is not None and Lcap < Asub)
         if not compacting:
             # Full-capacity path materializes the [W, A, D] obs tensors;
-            # the compacted path below never builds them (per-field
-            # compaction in compact_obs_rows — VERDICT r3 item 3).
+            # the compacted path below never builds them (the obs fields
+            # join the fused payload contraction instead).
             obs_cur = construct_obs(state, cfg, prev=False,
                                     quirk_compat=quirk_compat, dtype=obs_dtype)
             obs_prev = construct_obs(state, cfg, prev=True,
@@ -218,50 +215,45 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
                 keep = mask3 & (rank < rows)
                 oh = ((rank[:, None, :] == jnp.arange(rows)[None, :, None])
                       & keep[:, None, :])                   # [W, rows, Asub]
-                oh_f = oh.astype(f32)
 
-                def compact(x3, oh_=None):
-                    """[W, Asub(, D)] -> [W*rows(, D)] via exact one-hot."""
-                    o = oh_f if oh_ is None else oh_
-                    xd = x3 if x3.ndim == 3 else x3[..., None]
-                    out = jnp.einsum("gka,gad->gkd", o, xd.astype(o.dtype),
-                                     preferred_element_type=f32,
-                                     precision=_HI if o.dtype == f32 else None)
-                    out = out.astype(xd.dtype)
-                    return out.reshape((W * rows,) + x3.shape[2:])
-
-                def expand(vals, dtype):
-                    """[W*rows(, D)] -> [W, Asub(, D)] inverse scatter."""
-                    v = vals.reshape((W, rows) + vals.shape[1:])
-                    vd = v if v.ndim == 3 else v[..., None]
-                    out = jnp.einsum("gka,gkd->gad", oh_f, vd.astype(f32),
-                                     preferred_element_type=f32, precision=_HI)
-                    if vals.ndim == 1:
-                        out = out[..., 0]
-                    return out.astype(dtype)
-
-                mask = compact(mask3.astype(f32)).reshape(W * rows)
-                loss_mask = compact(lm3.astype(f32)).reshape(W * rows)
+                # ALL learner inputs for this species ride ONE exact bf16
+                # contraction (learn/pack.py): the [W, A, D] obs tensors
+                # never exist, f32 payloads (rewards; mem in f32 mode) ride
+                # the 3-way split, and bf16-mode mem casts to bf16 FIRST —
+                # the same value _fwd produces from uncompacted f32 rows.
+                pk = Packer()
+                fin_cur = pack_obs_fields(
+                    pk, class_view(state.sensor_depth, s),
+                    class_view(state.health, s),
+                    class_view(state.pos, s),
+                    class_view(state.sensor_semantic, s),
+                    class_view(state.surrounding, s),
+                    quirk_compat=quirk_compat, dtype=obs_dtype)
+                fin_prev = pack_obs_fields(
+                    pk, class_view(state.prev_sensor_depth, s),
+                    class_view(state.prev_health, s),
+                    class_view(state.prev_pos, s),
+                    class_view(state.prev_sensor_semantic, s),
+                    class_view(state.prev_surrounding, s),
+                    quirk_compat=quirk_compat, dtype=obs_dtype)
+                add_mem = (pk.add_bf16 if compute_dtype == jnp.bfloat16
+                           else pk.add_f32)
+                add_mem(mem4[:, :, s])
+                add_mem(mem_prev4[:, :, s])
+                pk.add_int(mask3)
+                pk.add_int(lm3)
+                pk.add_int(prev_act3[:, :, s])
+                pk.add_f32(rewards3[:, :, s])
+                fld = pk.unpack(gather_rows(oh, pk.payload()))
+                mask = fld[12].reshape(W * rows)
+                loss_mask = fld[13].reshape(W * rows)
                 up = dict(
-                    obs_cur=compact_obs_rows(
-                        class_view(state.sensor_depth, s),
-                        class_view(state.health, s),
-                        class_view(state.pos, s),
-                        class_view(state.sensor_semantic, s),
-                        class_view(state.surrounding, s),
-                        oh, quirk_compat=quirk_compat, dtype=obs_dtype),
-                    obs_prev=compact_obs_rows(
-                        class_view(state.prev_sensor_depth, s),
-                        class_view(state.prev_health, s),
-                        class_view(state.prev_pos, s),
-                        class_view(state.prev_sensor_semantic, s),
-                        class_view(state.prev_surrounding, s),
-                        oh, quirk_compat=quirk_compat, dtype=obs_dtype),
-                    mem=compact(mem4[:, :, s]),
-                    mem_prev=compact(mem_prev4[:, :, s]),
-                    prev_act=compact(
-                        prev_act3[:, :, s].astype(f32)).astype(jnp.int32),
-                    rewards=compact(rewards3[:, :, s]),
+                    obs_cur=fin_cur(*fld[0:5]).reshape(W * rows, D),
+                    obs_prev=fin_prev(*fld[5:10]).reshape(W * rows, D),
+                    mem=fld[10].reshape(W * rows, H),
+                    mem_prev=fld[11].reshape(W * rows, H),
+                    prev_act=fld[14].astype(jnp.int32).reshape(W * rows),
+                    rewards=fld[15].reshape(W * rows),
                 )
                 dropped = mask3.sum() - keep.sum()
             else:
@@ -284,10 +276,16 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
             new_tstates.append(ts)
             onehot = jax.nn.one_hot(actions, NUM_ACTIONS, dtype=jnp.int32)
             if rows < Asub:
-                act_pad = expand(
-                    (onehot.astype(f32) * mask[:, None]), jnp.int32)
-                mem_pad = expand(mem * mask[:, None], f32)
-                action_cols.append(act_pad)
+                # Write-back: one exact bf16 scatter for actions + memory
+                # (action one-hots are 0/1; new_mem is bf16-exact in bf16
+                # mode, 3-way split in f32 mode).
+                epk = Packer()
+                epk.add_int((onehot.astype(f32) * mask[:, None])
+                            .reshape(W, rows, NUM_ACTIONS))
+                (epk.add_bf16 if compute_dtype == jnp.bfloat16
+                 else epk.add_f32)((mem * mask[:, None]).reshape(W, rows, H))
+                act_pad, mem_pad = epk.unpack(scatter_rows(oh, epk.payload()))
+                action_cols.append(act_pad.astype(jnp.int32))
                 hidden_cols.append(mem_pad)
             else:
                 action_cols.append(

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from madrona_bots_tpu.config import EnvConfig
 from madrona_bots_tpu.env.state import WorldState
+from madrona_bots_tpu.learn.pack import Packer, gather_rows
 
 f32 = jnp.float32
 
@@ -77,41 +78,48 @@ def compact_obs_rows(depth, health, pos, semantic, surrounding, oh,
     Args: per-class fields [G, Asub(, k)]; oh [G, rows, Asub] bool one-hot
     (ascending rank compaction). Returns [G*rows, 69] in `dtype`.
 
-    Transport exactness: integer payloads (depth u8 <= 255, semantic i8,
-    health <= 100) are exact in either operand dtype (<= 1 nonzero per
-    sum, f32 accumulation); float payloads either cast to bf16 FIRST when
-    dtype is bf16 (matching construct_obs's cast point) or ride f32
-    operands at HIGHEST precision (TPU default would truncate them to
-    bf16 — CLAUDE.md).
+    Transport is ONE exact bf16 einsum (learn/pack.py): integer payloads
+    (depth u8 <= 255, semantic i8, health <= 100) ride single bf16
+    columns; floats cast to bf16 FIRST when dtype is bf16 (matching
+    construct_obs's cast point) or ride the exact 3-way bf16 split when
+    dtype is f32.
     """
     G, rows, Asub = oh.shape
-    S = depth.shape[-1]
-    if quirk_compat:
-        # Q1: the depth block carries the semantic bytes (uint8 view of
-        # the int8 storage, sim.cpp:98-104). Q2 (health bitcast) is applied
-        # AFTER transport — see below.
-        depth = semantic.astype(jnp.uint8)
-    # ONE einsum per call (many small per-field einsums cost ~0.2 ms of
-    # dispatch each on v5e — measured 9 ms/tick of pure overhead): all
-    # fields concat into a single payload at CLASS width. In the quirk
-    # case the health column rides as its INTEGER value (exact: <= 100,
-    # bf16-representable) and is bit-reinterpreted post-compaction — a
-    # matmul would flush the int-bits-as-f32 denormals to zero.
-    payload = jnp.concatenate([
-        depth.astype(dtype), health[..., None].astype(dtype)
-        if not quirk_compat else health[..., None].astype(jnp.int32).astype(dtype),
-        pos.astype(dtype), semantic.astype(dtype),
-        surrounding.astype(dtype)], axis=-1)               # [G, Asub, D]
-    if dtype == jnp.bfloat16:
-        out = jnp.einsum("gka,gad->gkd", oh.astype(jnp.bfloat16), payload,
-                         preferred_element_type=f32).astype(dtype)
-    else:
-        out = jnp.einsum("gka,gad->gkd", oh.astype(f32), payload,
-                         preferred_element_type=f32,
-                         precision=jax.lax.Precision.HIGHEST)
-    if quirk_compat:
-        h_int = jnp.round(out[..., S:S + 1].astype(f32)).astype(jnp.int32)
-        h_col = jax.lax.bitcast_convert_type(h_int, f32).astype(dtype)
-        out = jnp.concatenate([out[..., :S], h_col, out[..., S + 1:]],
-                              axis=-1)
+    pk = Packer()
+    fin = pack_obs_fields(pk, depth, health, pos, semantic, surrounding,
+                          quirk_compat=quirk_compat, dtype=dtype)
+    out = fin(*pk.unpack(gather_rows(oh, pk.payload())))
     return out.reshape(G * rows, out.shape[-1])
+
+
+def pack_obs_fields(pk: Packer, depth, health, pos, semantic, surrounding,
+                    quirk_compat: bool = False, dtype=f32):
+    """Add the 69-dim obs payload fields to `pk` (for fusing the obs build
+    into a larger one-hot contraction); returns finalize(d, h, p, sm, su)
+    -> [..., 69] in `dtype`, to call on the matching `unpack` slice.
+
+    Quirk handling: Q1 substitutes the semantic bytes for the depth block
+    BEFORE packing (sim.cpp:98-104); Q2's health column rides as its exact
+    INTEGER value (<= 100) and is bit-reinterpreted to f32 AFTER transport
+    (mgr.cpp:329-346 — the bit patterns are f32 denormals that any matmul
+    transport would flush to zero)."""
+    if quirk_compat:
+        depth = semantic.astype(jnp.uint8)
+    add_float = pk.add_bf16 if dtype == jnp.bfloat16 else pk.add_f32
+    pk.add_int(depth)
+    pk.add_int(health)
+    add_float(pos)
+    pk.add_int(semantic)
+    add_float(surrounding)
+
+    def finalize(d, h, p, sm, su):
+        if h.ndim < d.ndim:
+            h = h[..., None]
+        if quirk_compat:
+            h = jax.lax.bitcast_convert_type(
+                jnp.round(h).astype(jnp.int32), f32)
+        return jnp.concatenate([
+            d.astype(dtype), h.astype(dtype), p.astype(dtype),
+            sm.astype(dtype), su.astype(dtype)], axis=-1)
+
+    return finalize

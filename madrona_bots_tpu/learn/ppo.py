@@ -42,16 +42,11 @@ from madrona_bots_tpu.config import NUM_ACTIONS, EnvConfig
 from madrona_bots_tpu.env import env as env_mod
 from madrona_bots_tpu.env.state import WorldState
 from madrona_bots_tpu.learn.a2c import SpeciesTrainState
-from madrona_bots_tpu.learn.obs import compact_obs_rows
+from madrona_bots_tpu.learn.obs import pack_obs_fields
+from madrona_bots_tpu.learn.pack import Packer, gather_rows, scatter_rows
 from madrona_bots_tpu.models.actor_critic import ActorCritic
 
 f32 = jnp.float32
-# One-hot contractions carrying f32 payloads MUST run at HIGHEST precision:
-# TPU's default matmul pass truncates f32 operands to bf16 (CLAUDE.md /
-# env/systems.py:54-59), silently corrupting logp/advantage/value/memory
-# payloads. bf16-operand einsums stay at default (bf16 x one-hot with f32
-# accumulation is exact: <= 1 nonzero per sum).
-_HI = jax.lax.Precision.HIGHEST
 
 
 class Rollout(NamedTuple):
@@ -167,28 +162,21 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
                 kept = keep | ~m3
                 oh = ((rank[:, None, :] == jnp.arange(rows)[None, :, None])
                       & keep[:, None, :])                        # [W, r, Asub]
-                oh_f = oh.astype(f32)
 
-                def gath(x4, o):
-                    out = jnp.einsum("gka,gad->gkd", o, x4.astype(o.dtype),
-                                     preferred_element_type=f32,
-                                     precision=_HI if o.dtype == f32 else None)
-                    return out.astype(x4.dtype).reshape(Nc, x4.shape[-1])
-
-                def scat(v2, dtype):
-                    vd = v2.reshape(W, rows, -1)
-                    out = jnp.einsum("gka,gkd->gad", oh_f, vd.astype(f32),
-                                     preferred_element_type=f32, precision=_HI)
-                    return out.astype(dtype)                     # [W, Asub, d]
-
-                # Per-field compaction: never materializes the full
-                # [W, A, 69] obs tensor (learn/obs.py:compact_obs_rows).
-                o_in = compact_obs_rows(
-                    cls(state.sensor_depth, s), cls(state.health, s),
+                # Obs fields + memory + mask ride ONE exact bf16 gather
+                # (learn/pack.py); the full [W, A, 69] obs tensor is never
+                # materialized.
+                pk = Packer()
+                fin_obs = pack_obs_fields(
+                    pk, cls(state.sensor_depth, s), cls(state.health, s),
                     cls(state.pos, s), cls(state.sensor_semantic, s),
-                    cls(state.surrounding, s), oh, dtype=obs_dtype)
-                m_in = gath(mem4[:, :, s], oh_f)
-                mk = gath(m3.astype(f32)[..., None], oh_f)[:, 0]
+                    cls(state.surrounding, s), dtype=obs_dtype)
+                (pk.add_bf16 if cd is not None else pk.add_f32)(mem4[:, :, s])
+                pk.add_int(m3)
+                fld = pk.unpack(gather_rows(oh, pk.payload()))
+                o_in = fin_obs(*fld[0:5]).reshape(Nc, -1)
+                m_in = fld[5].reshape(Nc, H)
+                mk = fld[6].reshape(Nc)
             else:
                 o_in = obs4[:, :, s].reshape(Nc, obs4.shape[-1])
                 m_in = mem4[:, :, s].reshape(Nc, H)
@@ -200,11 +188,20 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
                                               dtype=lsm.dtype), axis=1)
             mb = mk > 0.5
             if rows < Asub:
-                a_c.append(scat(jnp.where(mb, a, 0).astype(f32),
-                                jnp.int32)[..., 0])
-                lp_c.append(scat(jnp.where(mb, lp, 0.0), f32)[..., 0])
-                v_c.append(scat(jnp.where(mb, v, 0.0), f32)[..., 0])
-                h_c.append(scat(h * mk[:, None], f32))
+                # One exact bf16 scatter for all four write-backs (action
+                # ids < 6 are int-exact; logp/value ride the 3-way split;
+                # new memory is bf16-exact in bf16 mode).
+                spk = Packer()
+                spk.add_int(jnp.where(mb, a, 0).reshape(W, rows))
+                spk.add_f32(jnp.where(mb, lp, 0.0).reshape(W, rows))
+                spk.add_f32(jnp.where(mb, v, 0.0).reshape(W, rows))
+                (spk.add_bf16 if cd is not None else spk.add_f32)(
+                    (h * mk[:, None]).reshape(W, rows, H))
+                so = spk.unpack(scatter_rows(oh, spk.payload()))
+                a_c.append(so[0].astype(jnp.int32))
+                lp_c.append(so[1])
+                v_c.append(so[2])
+                h_c.append(so[3])
             else:
                 a_c.append(jnp.where(mb, a, 0).reshape(W, Asub))
                 lp_c.append(jnp.where(mb, lp, 0.0).reshape(W, Asub))
@@ -294,59 +291,62 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
             reward_total = jnp.sum(fl(roll.reward, s) * mask_full)
             count_total = mask_full.sum()
 
-            if rows < Asub:
-                # Learner-row compaction: only ~pop/Asub of the padded class
-                # slots are alive, so gather each (t, w) group's alive rows
-                # into the first `rows` learner slots via a per-group
-                # one-hot contraction (an MXU batched matmul — NO dynamic
-                # gather; exact: <= 1 nonzero per sum, f32 accumulation).
-                # Groups with more than `rows` alive agents drop the
-                # highest-slot overflow; the dropped fraction is reported
-                # as species_*_dropped_rows (zero at typical populations).
-                m3 = mask_full.reshape(T * W, Asub)
-                rank = jnp.cumsum(m3.astype(jnp.int32), axis=1) - 1
-                keep = m3 & (rank < rows)
-                oh = ((rank[:, None, :] == jnp.arange(rows)[None, :, None])
-                      & keep[:, None, :])                  # [G, rows, Asub]
-                oh_b = oh.astype(jnp.bfloat16 if cd is not None else f32)
-                oh_f = oh.astype(f32)
-
-                def compact(x):
-                    x3 = x.reshape((T * W, Asub) + x.shape[1:])
-                    if x3.ndim == 2:
-                        x3 = x3[..., None]
-                    o = oh_b if x3.dtype == jnp.bfloat16 else oh_f
-                    out = jnp.einsum("gka,gad->gkd", o, x3.astype(o.dtype),
-                                     preferred_element_type=f32,
-                                     precision=_HI if o.dtype == f32 else None)
-                    out = out.reshape((B,) + x.shape[1:] if x.ndim > 1
-                                      else (B,))
-                    return out.astype(x.dtype)
-
-                dropped = count_total - keep.sum()
-            else:
-                compact = lambda x: x
-                dropped = jnp.int32(0)
-
             def fl3(x, s):
                 """[T, W, A, ...] -> [T*W, Asub, ...] class rows."""
                 x4 = x.reshape((T, W, Asub, NS) + x.shape[3:])
                 return x4[:, :, :, s].reshape((T * W, Asub) + x.shape[3:])
 
             if rows < Asub:
-                # Per-field compaction straight from the rollout records —
-                # the full [B, 69] obs buffer is never built.
-                obs_all = compact_obs_rows(
-                    fl3(roll.depth, s), fl3(roll.health, s),
+                # Learner-row compaction: only ~pop/Asub of the padded class
+                # slots are alive, so gather each (t, w) group's alive rows
+                # into the first `rows` learner slots. ALL buffers (obs
+                # fields straight from the rollout records, memory, action,
+                # logp, advantages, returns, values, mask) ride ONE exact
+                # bf16 contraction (learn/pack.py) — the full [B, 69] obs
+                # buffer is never built. Groups with more than `rows` alive
+                # agents drop the highest-slot overflow; the dropped
+                # fraction is reported as species_*_dropped_rows (zero at
+                # typical populations).
+                m3 = mask_full.reshape(T * W, Asub)
+                rank = jnp.cumsum(m3.astype(jnp.int32), axis=1) - 1
+                keep = m3 & (rank < rows)
+                oh = ((rank[:, None, :] == jnp.arange(rows)[None, :, None])
+                      & keep[:, None, :])                  # [G, rows, Asub]
+                pk = Packer()
+                fin_obs = pack_obs_fields(
+                    pk, fl3(roll.depth, s), fl3(roll.health, s),
                     fl3(roll.pos, s), fl3(roll.semantic, s),
-                    fl3(roll.surrounding, s), oh,
-                    dtype=f32 if cd is None else cd)
+                    fl3(roll.surrounding, s), dtype=f32 if cd is None else cd)
+                pk.add_f32(fl3(roll.memory, s))
+                pk.add_int(fl3(roll.action, s))
+                pk.add_f32(fl3(roll.logp, s))
+                pk.add_f32(fl3(advantages, s))
+                pk.add_f32(fl3(returns, s))
+                pk.add_f32(fl3(roll.value, s))
+                pk.add_int(m3)
+                fld = pk.unpack(gather_rows(oh, pk.payload()))
+                obs_all = fin_obs(*fld[0:5]).reshape(B, -1)
+                mem_b = fld[5].reshape(B, -1)
+                act_b = fld[6].astype(jnp.int32).reshape(B)
+                logp_b = fld[7].reshape(B)
+                adv_b = fld[8].reshape(B)
+                ret_b = fld[9].reshape(B)
+                val_b = fld[10].reshape(B)
+                mask_sp = fld[11].reshape(B) > 0.5
+                dropped = count_total - keep.sum()
             else:
                 obs_all = _flat_obs(
                     fl(roll.depth, s), fl(roll.health, s), fl(roll.pos, s),
                     fl(roll.semantic, s), fl(roll.surrounding, s),
                     f32 if cd is None else cd)
-            mask_sp = compact(mask_full.astype(f32)) > 0.5
+                mem_b = fl(roll.memory, s)
+                act_b = fl(roll.action, s).astype(jnp.int32)
+                logp_b = fl(roll.logp, s)
+                adv_b = fl(advantages, s)
+                ret_b = fl(returns, s)
+                val_b = fl(roll.value, s)
+                mask_sp = mask_full
+                dropped = jnp.int32(0)
 
             def mb_major(x):
                 # [B, ...] -> [M, mb, ...]: each minibatch becomes one
@@ -360,12 +360,8 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
 
             bufs = jax.lax.optimization_barrier(tuple(
                 mb_major(jnp.roll(x, roll_off, axis=0))
-                for x in (obs_all, compact(fl(roll.memory, s)),
-                          compact(fl(roll.action, s).astype(jnp.int32)),
-                          compact(fl(roll.logp, s)),
-                          compact(fl(advantages, s)),
-                          compact(fl(returns, s)),
-                          compact(fl(roll.value, s)), mask_sp)))
+                for x in (obs_all, mem_b, act_b, logp_b,
+                          adv_b, ret_b, val_b, mask_sp)))
 
             def loss_fn(params, picked):
                 o, m, a, lp_old, adv, ret, vold, msk = picked
