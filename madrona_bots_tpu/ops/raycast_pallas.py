@@ -205,13 +205,22 @@ def _bf16_split3(x):
 
 def _kernel_packed(offs_ref, px_ref, py_ref, hd_ref, alive_ref,
                    pkx_ref, pky_ref, pkh_ref, pks_ref,
-                   posx_s, posy_s, species_s, alive_s,
-                   cx_s, cy_s, cslot_s, cspec_s, n_s, mode_s,
-                   depth_ref, semantic_ref, finder_ref,
-                   *, cfg: EnvConfig, pairs: int, unroll: int = 4):
+                   *rest,
+                   cfg: EnvConfig, pairs: int, unroll: int = 4,
+                   quad: bool = False):
+    if quad:
+        (qkx_ref, qky_ref, qkh_ref, qks_ref,
+         posx_s, posy_s, species_s, alive_s,
+         cx_s, cy_s, cslot_s, cspec_s, n_s, mode_s, modeq_s,
+         depth_ref, semantic_ref, finder_ref) = rest
+    else:
+        (posx_s, posy_s, species_s, alive_s,
+         cx_s, cy_s, cslot_s, cspec_s, n_s, mode_s,
+         depth_ref, semantic_ref, finder_ref) = rest
     S = cfg.sensor_size
     A = px_ref.shape[1]
     half = A // 2
+    quarter = A // 4
     r2 = jnp.float32(cfg.agent_radius * cfg.agent_radius)
     near = jnp.float32(cfg.near)
     limx = jnp.float32(cfg.world_lim_x)
@@ -277,10 +286,69 @@ def _kernel_packed(offs_ref, px_ref, py_ref, hd_ref, alive_ref,
                 jnp.full((1, A), _INF, jnp.float32),
                 jnp.full((1, A), -1, jnp.int32))
 
-    for p in range(pairs):
+    def emit_quad(q):
+        """4 worlds per tile: each owns a quarter of the lane axis, one
+        target of EACH world folds per visit — halving the [S, A] fan cost
+        again vs pair mode. Runs when all four populations fit a quarter
+        (modeq == 1); fold order per world is ascending compacted targets,
+        identical to pair mode, so results are bit-exact."""
+        ws = tuple(4 * q + k for k in range(4))
+        seg = tuple((lane >= k * quarter) & (lane < (k + 1) * quarter)
+                    for k in range(4))
+
+        @pl.when(modeq_s[q, 0] == 1)
+        def _quad(q=q, ws=ws, seg=seg):
+            px = qkx_ref[q:q + 1, :]
+            py = qky_ref[q:q + 1, :]
+            hd = qkh_ref[q:q + 1, :]
+            srcslot = qks_ref[q:q + 1, :]
+            ang = hd + offs
+            cos_a, sin_a = jnp.cos(ang), jnp.sin(ang)
+            cos_h, sin_h = jnp.cos(hd), jnp.sin(hd)
+            n = [n_s[w, 0] for w in ws]
+            nv = jnp.where(seg[0], n[0], jnp.where(seg[1], n[1],
+                           jnp.where(seg[2], n[2], n[3])))       # [1, A]
+            visit = make_visit(px, py, cos_a, sin_a, cos_h, sin_h, srcslot)
+
+            def sel4(tab, b_safe):
+                v = [tab[w, b_safe] for w in ws]
+                return jnp.where(seg[0], v[0], jnp.where(seg[1], v[1],
+                                 jnp.where(seg[2], v[2], v[3])))
+
+            def one(b, carry):
+                b_safe = jnp.minimum(b, quarter - 1)
+                return visit(carry, sel4(cx_s, b_safe), sel4(cy_s, b_safe),
+                             sel4(cslot_s, b_safe), sel4(cspec_s, b_safe),
+                             nv > b)
+
+            def body(i, carry):
+                for j in range(unroll):
+                    carry = one(unroll * i + j, carry)
+                return carry
+
+            nmax = jnp.maximum(jnp.maximum(n[0], n[1]),
+                               jnp.maximum(n[2], n[3]))
+            t_a, sem_a, f_t, f_arg = jax.lax.fori_loop(
+                0, (nmax + unroll - 1) // unroll, body, carry0())
+            depth, semantic, finder = finalize(px, py, cos_a, sin_a,
+                                               t_a, sem_a, f_t, f_arg)
+            # World k's compacted rows live in lanes [k*quarter, (k+1)*quarter)
+            # — roll them down to [:quarter] (the expansion einsum reads only
+            # lanes < pop <= quarter, so the fill value is don't-care).
+            for k, w in enumerate(ws):
+                sh = (A - k * quarter) % A
+                tsel = (lambda x, sh=sh: pltpu.roll(x, sh, 1)) if sh else \
+                    (lambda x: x)
+                depth_ref[w] = jnp.where(seg[0], tsel(depth),
+                                         0).astype(jnp.uint8)
+                semantic_ref[w] = jnp.where(seg[0], tsel(semantic),
+                                            -1).astype(jnp.int8)
+                finder_ref[w:w + 1, :] = jnp.where(seg[0], tsel(finder), -1)
+
+    def emit_pair(p, pair_cond):
         w0, w1 = 2 * p, 2 * p + 1
 
-        @pl.when(mode_s[p, 0] == 1)
+        @pl.when(pair_cond)
         def _packed(p=p, w0=w0, w1=w1):
             px = pkx_ref[p:p + 1, :]
             py = pky_ref[p:p + 1, :]
@@ -327,6 +395,8 @@ def _kernel_packed(offs_ref, px_ref, py_ref, hd_ref, alive_ref,
 
         @pl.when(mode_s[p, 0] == 0)
         def _single(p=p, w0=w0, w1=w1):
+            # (quad implies pair-fits, so mode 0 never overlaps the quad
+            # branch — no extra guard needed.)
             # Fallback for pairs that exceed half-lane capacity: per-world
             # sweep over ALL original slots (dead targets fold as no-ops),
             # outputs in original slot lanes.
@@ -362,38 +432,84 @@ def _kernel_packed(offs_ref, px_ref, py_ref, hd_ref, alive_ref,
                                             -1).astype(jnp.int8)
                 finder_ref[w:w + 1, :] = jnp.where(src_alive, finder, -1)
 
+    if quad:
+        for q in range(pairs // 2):
+            emit_quad(q)
+            for p in (2 * q, 2 * q + 1):
+                emit_pair(p, (modeq_s[q, 0] == 0) & (mode_s[p, 0] == 1))
+    else:
+        for p in range(pairs):
+            emit_pair(p, mode_s[p, 0] == 1)
 
-def _legal_pairs_block(W: int, want: int = 8):
+
+def _legal_pairs_block(W: int, want: int = 8, quad: bool = False):
     """Mosaic requires the second-minor block dim be a multiple of 8 or
     equal to the array dim: the (2P, A) blocks need 2P % 8 == 0 (or == W)
-    and the (P, A) packed blocks need P % 8 == 0 (or == W//2)."""
+    and the (P, A) packed blocks need P % 8 == 0 (or == W//2); with quad
+    tiles the (P//2, A) blocks additionally need P//2 % 8 == 0 (or ==
+    W//4)."""
     npair = W // 2
-    for p in (want, 8, 4, 2, 1):
+    ok8 = lambda n, dim: n % 8 == 0 or n == dim
+    for p in (want, 16, 8, 4, 2, 1):
         if npair % p:
             continue
-        if ((2 * p) % 8 == 0 or 2 * p == W) and (p % 8 == 0 or p == npair):
-            return p
+        if not (ok8(2 * p, W) and ok8(p, npair)):
+            continue
+        if quad and (W % 4 or p % 2 or not ok8(p // 2, W // 4)):
+            continue
+        return p
     return None
 
 
 @partial(jax.jit,
-         static_argnames=("cfg", "pairs_per_block", "interpret", "unroll"))
+         static_argnames=("cfg", "pairs_per_block", "interpret", "unroll",
+                          "quad", "sort_worlds"))
 def raycast_pallas_packed(pos, heading, alive, species, cfg: EnvConfig,
                           pairs_per_block: int = 8, interpret: bool = False,
-                          unroll: int = 4):
-    """Pair-packed production raycast — same signature/outputs as
-    env.raycast.raycast. Requires W even, A even, A % 4 == 0, A <= 255."""
+                          unroll: int = 4, quad: bool = True,
+                          sort_worlds: bool = False):
+    """Pair/quad-packed production raycast — same signature/outputs as
+    env.raycast.raycast. Requires W even, A even, A % 4 == 0, A <= 255.
+
+    quad=True adds a third tile mode packing FOUR worlds per 128-lane tile
+    (each in a quarter of the lane axis) whenever all four populations fit
+    A//4 — halving the dominant [S, A] fan cost again vs pair mode at
+    typical (~33/128) populations. sort_worlds=True additionally permutes
+    worlds by population (stable argsort, inverted on output) so tile
+    groups hold similar populations: group trip counts track their own
+    populations and low-pop worlds quad-pack together. Both are bit-exact:
+    per-world arithmetic and the ascending-target fold order are unchanged."""
     W, A = heading.shape
     S = cfg.sensor_size
     half = A // 2
-    P = _legal_pairs_block(W, pairs_per_block)
+    quarter = A // 4
+    if quad and (W % 4 or quarter < 1):
+        quad = False
+    P = _legal_pairs_block(W, pairs_per_block, quad=quad)
+    if P is None and quad:
+        P = _legal_pairs_block(W, pairs_per_block)
+        quad = False
     if P is None:
         if interpret:  # CPU tests: no Mosaic block-shape constraint
-            P = next(p for p in (pairs_per_block, 4, 2, 1)
-                     if (W // 2) % p == 0)
+            if quad:
+                P = next((p for p in (pairs_per_block, 16, 8, 4, 2)
+                          if p % 2 == 0 and (W // 2) % p == 0), None)
+                quad = P is not None
+            if P is None:
+                P = next(p for p in (pairs_per_block, 4, 2, 1)
+                         if (W // 2) % p == 0)
         else:
             raise ValueError(f"no legal pairs_per_block for W={W}; "
                              "use raycast_pallas_blocked")
+
+    if sort_worlds:
+        pops = jnp.sum(alive.astype(jnp.int32), axis=1)          # [W]
+        perm = jnp.argsort(pops)                                 # stable
+        inv = jnp.argsort(perm)
+        pos = jnp.take(pos, perm, axis=0)
+        heading = jnp.take(heading, perm, axis=0)
+        alive = jnp.take(alive, perm, axis=0)
+        species = jnp.take(species, perm, axis=0)
 
     posx = pos[..., 0]
     posy = pos[..., 1]
@@ -442,11 +558,28 @@ def raycast_pallas_packed(pos, heading, alive, species, cfg: EnvConfig,
     out3 = pl.BlockSpec((2 * P, S, A), lambda i: (i, 0, 0), memory_space=vm)
     out2 = pl.BlockSpec((2 * P, A), lambda i: (i, 0), memory_space=vm)
 
+    if quad:
+        qkx = cx[:, :quarter].reshape(W // 4, A)
+        qky = cy[:, :quarter].reshape(W // 4, A)
+        qkh = ch[:, :quarter].reshape(W // 4, A)
+        qks = cslot[:, :quarter].reshape(W // 4, A)
+        modeq = (n_alive.reshape(W // 4, 4).max(axis=1, keepdims=True)
+                 <= quarter).astype(jnp.int32)                   # [W/4, 1]
+        bq = pl.BlockSpec((P // 2, A), lambda i: (i, 0), memory_space=vm)
+        sqm = pl.BlockSpec((P // 2, 1), lambda i: (i, 0), memory_space=sm)
+        quad_ops = (qkx, qky, qkh, qks)
+        quad_specs = [bq, bq, bq, bq]
+        mode_ops = (mode, modeq)
+        mode_specs = [s1m, sqm]
+    else:
+        quad_ops, quad_specs = (), []
+        mode_ops, mode_specs = (mode,), [s1m]
+
     depth_t, semantic_t, finder_t = pl.pallas_call(
-        partial(_kernel_packed, cfg=cfg, pairs=P, unroll=unroll),
+        partial(_kernel_packed, cfg=cfg, pairs=P, unroll=unroll, quad=quad),
         grid=(W // (2 * P),),
-        in_specs=[offs_spec, b2, b2, b2, b2, b1, b1, b1, b1,
-                  s2, s2, s2, s2, s2h, s2h, s2h, s2h, s2n, s1m],
+        in_specs=[offs_spec, b2, b2, b2, b2, b1, b1, b1, b1, *quad_specs,
+                  s2, s2, s2, s2, s2h, s2h, s2h, s2h, s2n, *mode_specs],
         out_specs=(out3, out3, out2),
         out_shape=(
             jax.ShapeDtypeStruct((W, S, A), jnp.uint8),
@@ -454,8 +587,9 @@ def raycast_pallas_packed(pos, heading, alive, species, cfg: EnvConfig,
             jax.ShapeDtypeStruct((W, A), jnp.int32),
         ),
         interpret=interpret,
-    )(offs, posx, posy, heading, alive_i, pkx, pky, pkh, pks,
-      posx, posy, species, alive_i, cx, cy, cslot, cspec, n_alive, mode)
+    )(offs, posx, posy, heading, alive_i, pkx, pky, pkh, pks, *quad_ops,
+      posx, posy, species, alive_i, cx, cy, cslot, cspec, n_alive,
+      *mode_ops)
 
     # Expand packed-mode worlds from compacted lanes back to slots with the
     # SAME one-hot (transposed contraction), all outputs in one einsum
@@ -478,6 +612,10 @@ def raycast_pallas_packed(pos, heading, alive, species, cfg: EnvConfig,
     depth = jnp.where(alive[..., None], depth, 0)
     semantic = jnp.where(alive[..., None], semantic, -1)
     finder = jnp.where(alive, finder, -1)
+    if sort_worlds:
+        depth = jnp.take(depth, inv, axis=0)
+        semantic = jnp.take(semantic, inv, axis=0)
+        finder = jnp.take(finder, inv, axis=0)
     return depth, semantic, finder
 
 
@@ -546,16 +684,21 @@ def raycast_pallas_blocked(pos, heading, alive, species, cfg: EnvConfig,
 
 def raycast_pallas(pos, heading, alive, species, cfg: EnvConfig,
                    worlds_per_block: int = 8, interpret: bool = False):
-    """Production sensor pass: the pair-packed kernel when the shape allows
-    (W even, A % 4 == 0, slot ids bf16-exact), else the v2 blocked kernel.
-    MBOTS_RAYCAST_PACKED=0 forces the v2 path for A/B comparisons."""
+    """Production sensor pass: the pair/quad-packed kernel when the shape
+    allows (W even, A % 4 == 0, slot ids bf16-exact), else the v2 blocked
+    kernel. A/B knobs: MBOTS_RAYCAST_PACKED=0 forces the v2 path,
+    MBOTS_RAYCAST_QUAD=0 disables quad tiles, MBOTS_RAYCAST_SORT=0 disables
+    population-sorted world grouping."""
     import os
     W, A = heading.shape
     if (W % 2 == 0 and A % 4 == 0 and A <= 255
             and _legal_pairs_block(W) is not None
             and os.environ.get("MBOTS_RAYCAST_PACKED", "1") == "1"):
+        quad = os.environ.get("MBOTS_RAYCAST_QUAD", "1") == "1"
+        sort_worlds = os.environ.get("MBOTS_RAYCAST_SORT", "1") == "1"
         return raycast_pallas_packed(pos, heading, alive, species, cfg,
-                                     interpret=interpret)
+                                     interpret=interpret, quad=quad,
+                                     sort_worlds=sort_worlds)
     return raycast_pallas_blocked(pos, heading, alive, species, cfg,
                                   worlds_per_block=worlds_per_block,
                                   interpret=interpret)

@@ -160,3 +160,54 @@ def test_pallas_packed_matches_blocked_kernel():
                                interpret=True)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.parametrize("density", [0.15, 0.4, 0.99])
+@pytest.mark.parametrize("sort_worlds", [False, True])
+def test_pallas_quad_modes_match_reference(density, sort_worlds):
+    """The quad-packed tiles (4 worlds per lane axis) and population-sorted
+    world grouping must equal the jnp reference elementwise: density 0.15
+    -> quads fit the quarter-lane quota, 0.4 -> pair tiles, 0.99 -> the
+    single-sweep fallback; sorting permutes worlds by population and must
+    be inverted exactly on output."""
+    from madrona_bots_tpu.ops.raycast_pallas import raycast_pallas_packed
+    cfg = EnvConfig(num_worlds=8, init_agents=16, max_agents=32)
+    k = jax.random.key(int(density * 100) + 7 * sort_worlds)
+    W, A = 8, 32
+    pos = jax.random.uniform(k, (W, A, 2)) * jnp.array([127.0, 95.0])
+    heading = jax.random.uniform(jax.random.fold_in(k, 1), (W, A)) * 6.28
+    alive = jax.random.uniform(jax.random.fold_in(k, 2), (W, A)) < density
+    species = jax.random.randint(jax.random.fold_in(k, 3), (W, A), 1, 5)
+    pops = np.asarray(alive.sum(axis=1))
+    if density == 0.15:
+        assert (pops.reshape(-1, 4).max(axis=1) <= A // 4).any()
+
+    d1, s1, f1 = raycast(pos, heading, alive, species, cfg)
+    d2, s2, f2 = raycast_pallas_packed(pos, heading, alive, species, cfg,
+                                       interpret=True, quad=True,
+                                       sort_worlds=sort_worlds)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+def test_pallas_sorted_mixed_population():
+    """Worlds with wildly different populations: sorting groups them so
+    quad/pair/single tiles coexist in one launch; outputs land back in the
+    original world order bit-exactly."""
+    from madrona_bots_tpu.env.state import init_state
+    from madrona_bots_tpu.ops.raycast_pallas import raycast_pallas_packed
+    cfg = EnvConfig(num_worlds=8, init_agents=8, max_agents=32)
+    s = init_state(jax.random.key(5), cfg)
+    k = jax.random.key(11)
+    # Hand-mix populations: worlds 0..7 alive counts ~ {4, 31, 7, 18, 30,
+    # 5, 26, 12} via per-world thresholds.
+    thr = jnp.array([0.12, 0.97, 0.2, 0.55, 0.95, 0.16, 0.8, 0.38])
+    alive = jax.random.uniform(k, (8, 32)) < thr[:, None]
+    d1, s1, f1 = raycast(s.pos, s.heading, alive, s.species, cfg)
+    d2, s2, f2 = raycast_pallas_packed(s.pos, s.heading, alive, s.species,
+                                       cfg, interpret=True, quad=True,
+                                       sort_worlds=True)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
