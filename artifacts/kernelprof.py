@@ -70,6 +70,16 @@ def main():
         finally:
             step_pallas.systems_pallas = orig
 
+    # Section ablation: cost of section X ~= t(full) - t(X off). Outputs
+    # stay written (zeros), so I/O and launch overhead cancel in the diff.
+    for sec in ("finder", "dmg", "eat", "tallies", "birth", "surr",
+                "respawn"):
+        step_pallas.systems_pallas = partial(orig, ablate=frozenset([sec]))
+        try:
+            scan_time(f"ablate {sec}", 32)
+        finally:
+            step_pallas.systems_pallas = orig
+
 
 if __name__ == "__main__":
     main()

@@ -78,7 +78,8 @@ def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
             hf_ref, he_ref, dmg_ref, eaten_ref, breeder_ref, born_ref,
             bposx_ref, bposy_ref, resp_ref,
             rposx_ref, rposy_ref, surrp_ref, surrm_ref, counts_ref,
-            hsum_ref, consumed_ref, *, cfg: EnvConfig):
+            hsum_ref, consumed_ref, *, cfg: EnvConfig,
+            ablate: frozenset = frozenset()):
     wb, A = flags_ref.shape
     C = cfg.num_chunks
     P = cfg.max_food_packages
@@ -99,8 +100,9 @@ def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
     # ---- finder gather: pay[w, finder[w, a]] with packed payload ----
     pay = alive0 + 8 * species                            # 0..33
     g = jnp.zeros((wb, A), i32)
-    for t in range(A):
-        g = jnp.where(finder == t, _col(pay, t), g)
+    if "finder" not in ablate:
+        for t in range(A):
+            g = jnp.where(finder == t, _col(pay, t), g)
     ta = g & 7                                            # target alive 0/1
     ts = g >> 3                                           # target species
 
@@ -114,8 +116,9 @@ def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
     # broadcast: each trip is one lane extract + compare + add. ----
     finder_eff = jnp.where(valid_shot > 0, finder, -1)
     dmg = jnp.zeros((wb, A), i32)
-    for a in range(A):
-        dmg = dmg + (lane == _col(finder_eff, a)).astype(i32)
+    if "dmg" not in ablate:
+        for a in range(A):
+            dmg = dmg + (lane == _col(finder_eff, a)).astype(i32)
     dmg_ref[...] = dmg
 
     health1 = health0 - jnp.where(alive0 > 0, cfg.shoot_damage * dmg, 0)
@@ -148,7 +151,7 @@ def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
                        jnp.left_shift(jnp.int32(1), sh_hi), 0)
     eaten = jnp.zeros((wb, A), i32)
     consumed = []                                         # [wb, 2] per pkg
-    for p in range(P):
+    for p in range(P) if "eat" not in ablate else ():
         has_p = gath[p] & 1
         cell_p = gath[p] >> 1
         contend = ((alive0 > 0) & (has_p > 0) & (eaten == 0)
@@ -166,6 +169,8 @@ def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
             jnp.sum(jnp.where(is_winner, enc_lo, 0), axis=1, keepdims=True),
             jnp.sum(jnp.where(is_winner, enc_hi, 0), axis=1, keepdims=True),
         ], axis=1))
+    if "eat" in ablate:
+        consumed = [jnp.zeros((wb, 2), i32) for _ in range(P)]
     consumed_ref[...] = jnp.stack(consumed, axis=1)       # [wb, P, 2]
     eaten_ref[...] = eaten
 
@@ -187,8 +192,11 @@ def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
     enc_tally = jnp.where(alive0 > 0, 1 + 512 * speedq, 0)
     tallies = []                                          # [wb, 1] per chunk
     for c in range(C):
-        tallies.append(jnp.sum(jnp.where(cidx == c, enc_tally, 0),
-                               axis=1, keepdims=True))
+        if "tallies" in ablate:
+            tallies.append(jnp.zeros((wb, 1), i32))
+        else:
+            tallies.append(jnp.sum(jnp.where(cidx == c, enc_tally, 0),
+                                   axis=1, keepdims=True))
 
     # ---- birth slot claims (class-partitioned, SPEC D2b) ----
     # Byte-packed per-class lane cumsums: rank of slot i among same-class
@@ -208,7 +216,7 @@ def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
     born = jnp.zeros((wb, A), i32)
     bposx = jnp.zeros((wb, A), f32)
     bposy = jnp.zeros((wb, A), f32)
-    for a in range(A):
+    for a in range(A) if "birth" not in ablate else ():
         m = keyq_slot == _col(keyq_parent, a)
         born = jnp.where(m, 1, born)
         bposx = jnp.where(m, _col(posx, a), bposx)
@@ -242,7 +250,7 @@ def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
               & (cx < cfg.num_chunks_x) & (cy < cfg.num_chunks_y))
         corners.append(jnp.where(ok, cx + cy * cfg.num_chunks_x, -1))
     cg = [jnp.zeros((wb, A), i32) for _ in range(4)]
-    for c in range(C):
+    for c in range(C) if "surr" not in ablate else ():
         t_c = tallies[c]
         for k in range(4):
             cg[k] = jnp.where(corners[k] == c, t_c, cg[k])
@@ -288,7 +296,7 @@ def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
     dkey = jnp.where(respawned, cls * FL + free2_rank, -1)
     rposx = jnp.zeros((wb, A), f32)
     rposy = jnp.zeros((wb, A), f32)
-    for k in range(NS * FL):
+    for k in range(NS * FL) if "respawn" not in ablate else ():
         m = dkey == k
         rposx = jnp.where(m, _col(drawx, k), rposx)
         rposy = jnp.where(m, _col(drawy, k), rposy)
@@ -296,12 +304,19 @@ def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
     rposy_ref[...] = rposy
 
 
-@partial(jax.jit, static_argnames=("cfg", "worlds_per_block", "interpret"))
+@partial(jax.jit, static_argnames=("cfg", "worlds_per_block", "interpret",
+                                  "ablate"))
 def systems_pallas(flags, species, finder, health, posx, posy, speedq, cidx,
                    cell, food_packed, drawx, drawy,
                    cfg: EnvConfig, worlds_per_block: int = 32,
-                   interpret: bool = False):
-    """Run the fused systems kernel; see _kernel for per-ref semantics."""
+                   interpret: bool = False,
+                   ablate: frozenset = frozenset()):
+    """Run the fused systems kernel; see _kernel for per-ref semantics.
+
+    ablate: MEASUREMENT-ONLY static switch (artifacts/kernelprof.py)
+    disabling named sections (finder/dmg/eat/tallies/birth/surr/respawn)
+    while keeping every output written, so section costs can be read off
+    a timing ablation on hardware. Never set in production paths."""
     W, A = flags.shape
     C, P, NS = cfg.num_chunks, cfg.max_food_packages, cfg.num_species
     assert NS <= 4 and A // NS < 256, "byte-packed rank cumsum bounds"
@@ -332,7 +347,7 @@ def systems_pallas(flags, species, finder, health, posx, posy, speedq, cidx,
     out_specs = tuple([sA] * 13 + [sNS, sNS, sP2])
 
     return pl.pallas_call(
-        partial(_kernel, cfg=cfg),
+        partial(_kernel, cfg=cfg, ablate=ablate),
         grid=(W // wb,),
         in_specs=[sA] * 9 + [sFC, sD, sD],
         out_specs=out_specs,
