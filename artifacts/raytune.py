@@ -1,6 +1,8 @@
-"""Tune packed raycast (unroll, pairs_per_block) on the real chip.
+"""Tune packed raycast (unroll, pairs_per_block, quad, sort) on the chip.
 
-Usage: python artifacts/raytune.py "4,4" "8,4" "4,8" ...  (unroll,P pairs)
+Usage: python artifacts/raytune.py "4,8,1,1" "4,16,1,0" ...
+(each spec = unroll,P[,quad[,sort]]; quad/sort default 0)
+RAYTUNE_INIT_AGENTS=128 for the saturated-population regime.
 """
 import sys, time
 sys.path.insert(0, "/root/repo")
@@ -21,7 +23,9 @@ W, A = 8192, 128
 
 
 def main():
-    cfg = EnvConfig(num_worlds=W, init_agents=32, max_agents=A)
+    import os
+    init_agents = int(os.environ.get("RAYTUNE_INIT_AGENTS", "32"))
+    cfg = EnvConfig(num_worlds=W, init_agents=init_agents, max_agents=A)
     state = init_state(jax.random.key(0), cfg)
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -40,15 +44,20 @@ def main():
     alive, species = state.alive, state.species
 
     for spec in sys.argv[1:]:
-        u, p = (int(x) for x in spec.split(","))
+        parts = [int(x) for x in spec.split(",")]
+        u, p = parts[0], parts[1]
+        quad = bool(parts[2]) if len(parts) > 2 else False
+        sortw = bool(parts[3]) if len(parts) > 3 else False
 
         @jax.jit
-        def block(key, pos, heading, alive, species, u=u, p=p):
+        def block(key, pos, heading, alive, species,
+                  u=u, p=p, quad=quad, sortw=sortw):
             def f(carry, k):
                 pos_b = pos + carry * jnp.float32(1e-30)
                 d, s2, f2 = rp.raycast_pallas_packed(
                     pos_b, heading, alive, species, cfg,
-                    pairs_per_block=p, unroll=u)
+                    pairs_per_block=p, unroll=u, quad=quad,
+                    sort_worlds=sortw)
                 return carry + jnp.sum(d.astype(jnp.float32)), ()
             acc, _ = jax.lax.scan(f, jnp.float32(0), jax.random.split(key, K))
             return acc
@@ -61,7 +70,8 @@ def main():
                         pos, heading, alive, species)
         jax.device_get(acc)
         dt = (time.perf_counter() - t0) / 2 / K
-        print(f"unroll={u} P={p}: {dt*1e3:8.3f} ms", flush=True)
+        print(f"unroll={u} P={p} quad={int(quad)} sort={int(sortw)}: "
+              f"{dt*1e3:8.3f} ms", flush=True)
 
 
 if __name__ == "__main__":
