@@ -503,13 +503,33 @@ def raycast_pallas_packed(pos, heading, alive, species, cfg: EnvConfig,
                              "use raycast_pallas_blocked")
 
     if sort_worlds:
-        pops = jnp.sum(alive.astype(jnp.int32), axis=1)          # [W]
-        perm = jnp.argsort(pops)                                 # stable
-        inv = jnp.argsort(perm)
-        pos = jnp.take(pos, perm, axis=0)
-        heading = jnp.take(heading, perm, axis=0)
-        alive = jnp.take(alive, perm, axis=0)
-        species = jnp.take(species, perm, axis=0)
+        # GROUP-LOCAL sort (static groups of <= 64 worlds): a global
+        # argsort+take over the world axis would make GSPMD insert
+        # all-to-all collectives when worlds are sharded across chips —
+        # batched take_along_axis with the group axis outermost stays
+        # shard-local (groups never span a shard as long as 64 divides the
+        # per-shard world count), and population statistics are iid across
+        # worlds so group-local sorting packs tiles just as well.
+        grp = 64
+        while W % grp:
+            grp //= 2
+        if grp >= 4:
+            G = W // grp
+            pops = jnp.sum(alive.astype(jnp.int32), axis=1).reshape(G, grp)
+            perm = jnp.argsort(pops, axis=1)                     # stable
+            inv = jnp.argsort(perm, axis=1)
+
+            def _psort(x, idx):
+                xg = x.reshape((G, grp) + x.shape[1:])
+                ix = idx.reshape(idx.shape + (1,) * (xg.ndim - 2))
+                return jnp.take_along_axis(xg, ix, axis=1).reshape(x.shape)
+
+            pos = _psort(pos, perm)
+            heading = _psort(heading, perm)
+            alive = _psort(alive, perm)
+            species = _psort(species, perm)
+        else:
+            sort_worlds = False
 
     posx = pos[..., 0]
     posy = pos[..., 1]
@@ -613,9 +633,9 @@ def raycast_pallas_packed(pos, heading, alive, species, cfg: EnvConfig,
     semantic = jnp.where(alive[..., None], semantic, -1)
     finder = jnp.where(alive, finder, -1)
     if sort_worlds:
-        depth = jnp.take(depth, inv, axis=0)
-        semantic = jnp.take(semantic, inv, axis=0)
-        finder = jnp.take(finder, inv, axis=0)
+        depth = _psort(depth, inv)
+        semantic = _psort(semantic, inv)
+        finder = _psort(finder, inv)
     return depth, semantic, finder
 
 
