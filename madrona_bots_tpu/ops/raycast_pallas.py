@@ -419,12 +419,12 @@ def _kernel_packed(offs_ref, px_ref, py_ref, hd_ref, alive_ref,
                     return visit(carry, tx, ty, tslot, tsp, valid)
 
                 def body(i, carry, one=one):
-                    for j in range(4):
-                        carry = one(4 * i + j, carry)
+                    for j in range(unroll):
+                        carry = one(unroll * i + j, carry)
                     return carry
 
                 t_a, sem_a, f_t, f_arg = jax.lax.fori_loop(
-                    0, A // 4, body, carry0())
+                    0, A // unroll, body, carry0())
                 depth, semantic, finder = finalize(px, py, cos_a, sin_a,
                                                    t_a, sem_a, f_t, f_arg)
                 depth_ref[w] = jnp.where(src_alive, depth, 0).astype(jnp.uint8)
