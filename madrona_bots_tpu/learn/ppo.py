@@ -291,11 +291,6 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
             reward_total = jnp.sum(fl(roll.reward, s) * mask_full)
             count_total = mask_full.sum()
 
-            def fl3(x, s):
-                """[T, W, A, ...] -> [T*W, Asub, ...] class rows."""
-                x4 = x.reshape((T, W, Asub, NS) + x.shape[3:])
-                return x4[:, :, :, s].reshape((T * W, Asub) + x.shape[3:])
-
             if rows < Asub:
                 # Learner-row compaction: only ~pop/Asub of the padded class
                 # slots are alive, so gather each (t, w) group's alive rows
@@ -307,33 +302,55 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
                 # agents drop the highest-slot overflow; the dropped
                 # fraction is reported as species_*_dropped_rows (zero at
                 # typical populations).
-                m3 = mask_full.reshape(T * W, Asub)
-                rank = jnp.cumsum(m3.astype(jnp.int32), axis=1) - 1
-                keep = m3 & (rank < rows)
-                oh = ((rank[:, None, :] == jnp.arange(rows)[None, :, None])
-                      & keep[:, None, :])                  # [G, rows, Asub]
-                pk = Packer()
-                fin_obs = pack_obs_fields(
-                    pk, fl3(roll.depth, s), fl3(roll.health, s),
-                    fl3(roll.pos, s), fl3(roll.semantic, s),
-                    fl3(roll.surrounding, s), dtype=f32 if cd is None else cd)
-                pk.add_f32(fl3(roll.memory, s))
-                pk.add_int(fl3(roll.action, s))
-                pk.add_f32(fl3(roll.logp, s))
-                pk.add_f32(fl3(advantages, s))
-                pk.add_f32(fl3(returns, s))
-                pk.add_f32(fl3(roll.value, s))
-                pk.add_int(m3)
-                fld = pk.unpack(gather_rows(oh, pk.payload()))
-                obs_all = fin_obs(*fld[0:5]).reshape(B, -1)
-                mem_b = fld[5].reshape(B, -1)
-                act_b = fld[6].astype(jnp.int32).reshape(B)
-                logp_b = fld[7].reshape(B)
-                adv_b = fld[8].reshape(B)
-                ret_b = fld[9].reshape(B)
-                val_b = fld[10].reshape(B)
-                mask_sp = fld[11].reshape(B) > 0.5
-                dropped = count_total - keep.sum()
+                #
+                # The gather runs as a lax.map over the T axis: a single
+                # whole-buffer pack at G = T*W groups makes XLA materialize
+                # padded bf16 payload temps for the entire rollout at once
+                # (each [G, Asub, 1] scalar column pads 128x on the lane
+                # axis — 26 GB of HLO temp at 8192 worlds, OOM on v5e).
+                # Per-t chunks keep only one step's intermediates live.
+                def fl4(x):
+                    x5 = x.reshape((T, W, Asub, NS) + x.shape[3:])
+                    return x5[:, :, :, s]
+
+                def compact_t(sl):
+                    (d_t, h_t, p_t, sm_t, su_t, mem_t, act_t, lp_t,
+                     adv_t, ret_t, val_t, m3_t) = sl
+                    rank = jnp.cumsum(m3_t.astype(jnp.int32), axis=1) - 1
+                    keep = m3_t & (rank < rows)
+                    oh = ((rank[:, None, :]
+                           == jnp.arange(rows)[None, :, None])
+                          & keep[:, None, :])              # [W, rows, Asub]
+                    pk = Packer()
+                    fin_obs = pack_obs_fields(
+                        pk, d_t, h_t, p_t, sm_t, su_t,
+                        dtype=f32 if cd is None else cd)
+                    pk.add_f32(mem_t)
+                    pk.add_int(act_t)
+                    pk.add_f32(lp_t)
+                    pk.add_f32(adv_t)
+                    pk.add_f32(ret_t)
+                    pk.add_f32(val_t)
+                    pk.add_int(m3_t)
+                    fld = pk.unpack(gather_rows(oh, pk.payload()))
+                    return (fin_obs(*fld[0:5]),) + tuple(fld[5:12]) + (
+                        keep.sum(),)
+
+                outs = jax.lax.map(compact_t, (
+                    fl4(roll.depth), fl4(roll.health), fl4(roll.pos),
+                    fl4(roll.semantic), fl4(roll.surrounding),
+                    fl4(roll.memory), fl4(roll.action), fl4(roll.logp),
+                    fl4(advantages), fl4(returns), fl4(roll.value),
+                    mask_full.reshape(T, W, Asub)))
+                obs_all = outs[0].reshape(B, -1)
+                mem_b = outs[1].reshape(B, -1)
+                act_b = outs[2].astype(jnp.int32).reshape(B)
+                logp_b = outs[3].reshape(B)
+                adv_b = outs[4].reshape(B)
+                ret_b = outs[5].reshape(B)
+                val_b = outs[6].reshape(B)
+                mask_sp = outs[7].reshape(B) > 0.5
+                dropped = count_total - outs[8].sum()
             else:
                 obs_all = _flat_obs(
                     fl(roll.depth, s), fl(roll.health, s), fl(roll.pos, s),

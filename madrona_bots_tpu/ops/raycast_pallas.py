@@ -98,25 +98,28 @@ def _kernel(posx_ref, posy_ref, heading_ref, alive_ref, offs_ref,
             # select instead of two [S, A] mask ops.
             q = jnp.where(ok, r2 - oc2, -_INF)                   # [1, A]
 
-            # Sensor fan: [S, A]. Validity (disc >= 0, t > near) folds into
-            # a single select-to-INF, so the winner test is ONE compare.
-            # (The semantic carry stays int32: Mosaic cannot relayout an
-            # f32-compare mask to the int8 select tiling.)
+            # Sensor fan: [S, A]. Validity folds via NaN propagation: a
+            # miss/excluded lane has disc < 0, sqrt gives NaN, and NaN
+            # compares false — so `closer` is false without an explicit
+            # disc >= 0 test, dropping the max, the validity select and
+            # the min (4 wide ops per visit). Winners write the same f32
+            # t_hit = t_c - sqrt(disc) as the select-to-INF form, so
+            # results stay bit-identical. (The semantic carry stays int32:
+            # Mosaic cannot relayout an f32-compare mask to the int8
+            # select tiling.)
             t_c = cos_a[w] * ocx + sin_a[w] * ocy
             disc = t_c * t_c + q
-            t_hit = t_c - jnp.sqrt(jnp.maximum(disc, 0.0))
-            thit_v = jnp.where((disc >= 0) & (t_hit > near), t_hit, _INF)
-            closer = thit_v < t_min[w]
-            new_t.append(jnp.minimum(thit_v, t_min[w]))
+            t_hit = t_c - jnp.sqrt(disc)                 # NaN on miss
+            closer = (t_hit > near) & (t_hit < t_min[w])
+            new_t.append(jnp.where(closer, t_hit, t_min[w]))
             new_sem.append(jnp.where(closer, t_species, sem_min[w]))
 
             # Crosshair (finder) ray: [1, A].
             ft_c = cos_h[w] * ocx + sin_h[w] * ocy
             fdisc = ft_c * ft_c + q
-            ft = ft_c - jnp.sqrt(jnp.maximum(fdisc, 0.0))
-            ft_v = jnp.where((fdisc >= 0) & (ft > near), ft, _INF)
-            fcloser = ft_v < f_min[w]
-            new_f.append(jnp.minimum(ft_v, f_min[w]))
+            ft = ft_c - jnp.sqrt(fdisc)                  # NaN on miss
+            fcloser = (ft > near) & (ft < f_min[w])
+            new_f.append(jnp.where(fcloser, ft, f_min[w]))
             new_fa.append(jnp.where(fcloser, slot, f_arg[w]))
         return tuple(new_t), tuple(new_sem), tuple(new_f), tuple(new_fa)
 
@@ -242,20 +245,22 @@ def _kernel_packed(offs_ref, px_ref, py_ref, hd_ref, alive_ref,
             ok = valid & (srcslot != tslot)
             q = jnp.where(ok, r2 - oc2, -_INF)                   # [1, A]
 
+            # NaN-fold validity (see _kernel.visit): miss => disc < 0 =>
+            # sqrt NaN => both compares false; winners write the identical
+            # f32 value, so the carry evolution is bit-exact vs the
+            # select-to-INF form at 4 fewer wide ops per visit.
             t_c = cos_a * ocx + sin_a * ocy                      # [S, A]
             disc = t_c * t_c + q
-            t_hit = t_c - jnp.sqrt(jnp.maximum(disc, 0.0))
-            thit_v = jnp.where((disc >= 0) & (t_hit > near), t_hit, _INF)
-            closer = thit_v < t_min
-            t_min = jnp.minimum(thit_v, t_min)
+            t_hit = t_c - jnp.sqrt(disc)                         # NaN on miss
+            closer = (t_hit > near) & (t_hit < t_min)
+            t_min = jnp.where(closer, t_hit, t_min)
             sem_min = jnp.where(closer, tsp, sem_min)
 
             ft_c = cos_h * ocx + sin_h * ocy                     # [1, A]
             fdisc = ft_c * ft_c + q
-            ft = ft_c - jnp.sqrt(jnp.maximum(fdisc, 0.0))
-            ft_v = jnp.where((fdisc >= 0) & (ft > near), ft, _INF)
-            fcloser = ft_v < f_min
-            f_min = jnp.minimum(ft_v, f_min)
+            ft = ft_c - jnp.sqrt(fdisc)                          # NaN on miss
+            fcloser = (ft > near) & (ft < f_min)
+            f_min = jnp.where(fcloser, ft, f_min)
             f_arg = jnp.where(fcloser, tslot, f_arg)
             return t_min, sem_min, f_min, f_arg
         return visit
