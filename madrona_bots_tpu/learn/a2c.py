@@ -26,8 +26,9 @@ import optax
 from madrona_bots_tpu.config import NUM_ACTIONS, EnvConfig
 from madrona_bots_tpu.env import env as env_mod
 from madrona_bots_tpu.env.state import WorldState
-from madrona_bots_tpu.learn.obs import construct_obs, pack_obs_fields
-from madrona_bots_tpu.learn.pack import Packer, gather_rows, scatter_rows
+from madrona_bots_tpu.learn.obs import construct_obs
+from madrona_bots_tpu.learn.pack import compact_slots, split3, taa_gather, \
+    taa_scatter
 from madrona_bots_tpu.models.actor_critic import ActorCritic, compute_loss
 
 f32 = jnp.float32
@@ -39,8 +40,12 @@ class SpeciesTrainState(NamedTuple):
 
 
 def make_optimizer(lr: float = 3e-4) -> optax.GradientTransformation:
-    """Adam, reference defaults (training_loop.py:197, torch.optim.Adam)."""
-    return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    """Adam, reference defaults (training_loop.py:197, torch.optim.Adam).
+
+    optax.flatten turns the per-tensor moment updates (~130 tiny XLA ops
+    across 4 species per tick) into a handful of single-vector ops —
+    identical update values, per-element."""
+    return optax.flatten(optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8))
 
 
 def init_train_states(models: Sequence[ActorCritic], key: jax.Array,
@@ -174,20 +179,13 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
         obs_dtype = f32 if compute_dtype is None else compute_dtype
         D = cfg.obs_dim
         compacting = (Lcap is not None and Lcap < Asub)
+        obs_cur = construct_obs(state, cfg, prev=False,
+                                quirk_compat=quirk_compat, dtype=obs_dtype)
+        obs_prev = construct_obs(state, cfg, prev=True,
+                                 quirk_compat=quirk_compat, dtype=obs_dtype)
         if not compacting:
-            # Full-capacity path materializes the [W, A, D] obs tensors;
-            # the compacted path below never builds them (the obs fields
-            # join the fused payload contraction instead).
-            obs_cur = construct_obs(state, cfg, prev=False,
-                                    quirk_compat=quirk_compat, dtype=obs_dtype)
-            obs_prev = construct_obs(state, cfg, prev=True,
-                                     quirk_compat=quirk_compat, dtype=obs_dtype)
             obs_cur4 = obs_cur.reshape(W, Asub, NS, D)
             obs_prev4 = obs_prev.reshape(W, Asub, NS, D)
-
-        def class_view(x, s):
-            """[W, A(, k)] -> this species-class's [W, Asub(, k)] rows."""
-            return x.reshape((W, Asub, NS) + x.shape[2:])[:, :, s]
 
         H = state.hidden.shape[-1]
         mem4 = state.hidden.reshape(W, Asub, NS, H)
@@ -201,7 +199,52 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
 
         rows = Asub if Lcap is None or Lcap >= Asub else Lcap
 
+        if compacting:
+            # ONE batched compaction gather for all species at once
+            # (G = W*NS groups). The TPU rule (learn/ppo.py RolloutC): a
+            # batched gather/scatter op at G~8k+ costs ~1 ms regardless of
+            # payload width, so ALL learner inputs ride one taa_gather —
+            # pure data movement, exact for every dtype (obs/memory cast
+            # to the transport dtype FIRST, matching the uncompacted
+            # forward's cast point; f32 rewards ride exact split3 triples
+            # in bf16 mode). Replaces the r2 per-species one-hot einsum
+            # pair, which paid ~8 contraction ops + 2 packer chains/tick.
+            G = W * NS
+            PD = obs_dtype
+
+            def cm(x):
+                """[W, A(, k)] -> class-major [G, Asub(, k)]."""
+                x4 = x.reshape((W, Asub, NS) + x.shape[2:])
+                return jnp.swapaxes(x4, 1, 2).reshape(
+                    (G, Asub) + x.shape[2:])
+
+            spec_tile = jnp.tile(
+                jnp.arange(1, NS + 1, dtype=state.species.dtype), Asub)
+            m_full = state.alive & (state.species == spec_tile[None, :])
+            lm_full = m_full & (state.prev_species == spec_tile[None, :])
+            m = cm(m_full)                                  # [G, Asub]
+            slot, valid_g, keep = compact_slots(m, rows)
+            # Concatenate in the NATIVE [W, A, .] layout first, then ONE
+            # class-major transpose of the whole payload (per-column cm()
+            # transposes each pay the fixed wide-op cost).
+            cols = [obs_cur.astype(PD), obs_prev.astype(PD),
+                    state.hidden.reshape(W, A, H).astype(PD),
+                    state.prev_hidden.reshape(W, A, H).astype(PD),
+                    lm_full[..., None].astype(PD),
+                    jnp.argmax(state.action, axis=-1)[..., None].astype(PD)]
+            if compute_dtype is None:
+                cols.append(state.reward[..., None])
+            else:
+                cols += [p[..., None] for p in split3(state.reward)]
+            grec = taa_gather(cm(jnp.concatenate(cols, axis=-1)), slot)
+            grec4 = grec.reshape(W, NS, rows, grec.shape[-1])
+            valid3 = valid_g.reshape(W, NS, rows)
+            m_sums = m.reshape(W, NS, Asub).sum(axis=(0, 2))
+            k_sums = keep.reshape(W, NS, Asub).sum(axis=(0, 2))
+            c0 = 2 * D + 2 * H                              # scalar cols
+
         action_cols, hidden_cols = [], []
+        mem_rows, onehot_rows = [], []
         new_tstates = []
         metrics: Dict[str, jax.Array] = {}
         for s in range(num_species):
@@ -211,51 +254,26 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
             lm3 = mask3 & (prev_sp3[:, :, s] == s + 1)
 
             if rows < Asub:
-                rank = jnp.cumsum(mask3.astype(jnp.int32), axis=1) - 1
-                keep = mask3 & (rank < rows)
-                oh = ((rank[:, None, :] == jnp.arange(rows)[None, :, None])
-                      & keep[:, None, :])                   # [W, rows, Asub]
-
-                # ALL learner inputs for this species ride ONE exact bf16
-                # contraction (learn/pack.py): the [W, A, D] obs tensors
-                # never exist, f32 payloads (rewards; mem in f32 mode) ride
-                # the 3-way split, and bf16-mode mem casts to bf16 FIRST —
-                # the same value _fwd produces from uncompacted f32 rows.
-                pk = Packer()
-                fin_cur = pack_obs_fields(
-                    pk, class_view(state.sensor_depth, s),
-                    class_view(state.health, s),
-                    class_view(state.pos, s),
-                    class_view(state.sensor_semantic, s),
-                    class_view(state.surrounding, s),
-                    quirk_compat=quirk_compat, dtype=obs_dtype)
-                fin_prev = pack_obs_fields(
-                    pk, class_view(state.prev_sensor_depth, s),
-                    class_view(state.prev_health, s),
-                    class_view(state.prev_pos, s),
-                    class_view(state.prev_sensor_semantic, s),
-                    class_view(state.prev_surrounding, s),
-                    quirk_compat=quirk_compat, dtype=obs_dtype)
-                add_mem = (pk.add_bf16 if compute_dtype == jnp.bfloat16
-                           else pk.add_f32)
-                add_mem(mem4[:, :, s])
-                add_mem(mem_prev4[:, :, s])
-                pk.add_int(mask3)
-                pk.add_int(lm3)
-                pk.add_int(prev_act3[:, :, s])
-                pk.add_f32(rewards3[:, :, s])
-                fld = pk.unpack(gather_rows(oh, pk.payload()))
-                mask = fld[12].reshape(W * rows)
-                loss_mask = fld[13].reshape(W * rows)
+                g = grec4[:, s]                             # [W, rows, C]
+                vmask = valid3[:, s].reshape(W * rows).astype(f32)
+                mask = vmask
+                loss_mask = (g[..., c0].astype(f32).reshape(W * rows)
+                             * vmask)
+                if compute_dtype is None:
+                    rew = g[..., c0 + 2].reshape(W * rows)
+                else:
+                    rew = sum(g[..., c0 + 2 + i].astype(f32)
+                              for i in range(3)).reshape(W * rows)
                 up = dict(
-                    obs_cur=fin_cur(*fld[0:5]).reshape(W * rows, D),
-                    obs_prev=fin_prev(*fld[5:10]).reshape(W * rows, D),
-                    mem=fld[10].reshape(W * rows, H),
-                    mem_prev=fld[11].reshape(W * rows, H),
-                    prev_act=fld[14].astype(jnp.int32).reshape(W * rows),
-                    rewards=fld[15].reshape(W * rows),
+                    obs_cur=g[..., 0:D].reshape(W * rows, D),
+                    obs_prev=g[..., D:2 * D].reshape(W * rows, D),
+                    mem=g[..., 2 * D:2 * D + H].reshape(W * rows, H),
+                    mem_prev=g[..., 2 * D + H:c0].reshape(W * rows, H),
+                    prev_act=g[..., c0 + 1].astype(jnp.int32)
+                    .reshape(W * rows),
+                    rewards=rew,
                 )
-                dropped = mask3.sum() - keep.sum()
+                dropped = m_sums[s] - k_sums[s]
             else:
                 mask = mask_full
                 loss_mask = lm3.astype(f32).reshape(Nc)
@@ -276,17 +294,14 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
             new_tstates.append(ts)
             onehot = jax.nn.one_hot(actions, NUM_ACTIONS, dtype=jnp.int32)
             if rows < Asub:
-                # Write-back: one exact bf16 scatter for actions + memory
-                # (action one-hots are 0/1; new_mem is bf16-exact in bf16
-                # mode, 3-way split in f32 mode).
-                epk = Packer()
-                epk.add_int((onehot.astype(f32) * mask[:, None])
-                            .reshape(W, rows, NUM_ACTIONS))
-                (epk.add_bf16 if compute_dtype == jnp.bfloat16
-                 else epk.add_f32)((mem * mask[:, None]).reshape(W, rows, H))
-                act_pad, mem_pad = epk.unpack(scatter_rows(oh, epk.payload()))
-                action_cols.append(act_pad.astype(jnp.int32))
-                hidden_cols.append(mem_pad)
+                # Collect this species' [W, rows, 6+H] rows; ONE batched
+                # taa_scatter after the loop writes all species back
+                # (exact: one-hots are 0/1; new memory is written in the
+                # dtype the next forward consumes).
+                onehot_rows.append(
+                    (onehot.astype(f32) * mask[:, None])
+                    .reshape(W, rows, NUM_ACTIONS))
+                mem_rows.append((mem * mask[:, None]).reshape(W, rows, H))
             else:
                 action_cols.append(
                     (onehot * mask[:, None].astype(jnp.int32)).reshape(
@@ -308,8 +323,22 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
             for k, v in m.items():
                 metrics[f"species_{s + 1}_{k}"] = v
 
-        new_action = jnp.stack(action_cols, axis=2)      # [W, Asub, NS, 6]
-        new_hidden = jnp.stack(hidden_cols, axis=2)      # [W, Asub, NS, H]
+        if rows < Asub:
+            # ONE batched expansion scatter for all species' actions +
+            # memory (invalid rows route to a padding slot — zeros stay at
+            # un-gathered rows: dead slots AND dropped overflow act null,
+            # zero memory, exactly like the r2 per-species scatter).
+            src = jnp.stack([jnp.concatenate([o, mm], axis=-1)
+                             for o, mm in zip(onehot_rows, mem_rows)],
+                            axis=1).reshape(W * NS, rows, NUM_ACTIONS + H)
+            out = taa_scatter(src, slot, valid_g, Asub)   # [G, Asub, 6+H]
+            out4 = jnp.swapaxes(
+                out.reshape(W, NS, Asub, NUM_ACTIONS + H), 1, 2)
+            new_action = out4[..., :NUM_ACTIONS].astype(jnp.int32)
+            new_hidden = out4[..., NUM_ACTIONS:]
+        else:
+            new_action = jnp.stack(action_cols, axis=2)  # [W, Asub, NS, 6]
+            new_hidden = jnp.stack(hidden_cols, axis=2)  # [W, Asub, NS, H]
 
         # shift, then write actions + memory (training_loop.py:135-137).
         state = env_mod.shift_observations_impl(state, cfg)

@@ -121,6 +121,50 @@ class Packer:
         return fields
 
 
+def compact_slots(mask: jax.Array, rows: int):
+    """Per-group rank compaction indices. mask [G, Asub] bool ->
+      slot  [G, rows] i32 : slot index of the r-th set row (ascending), 0
+                            where r >= count (mask with `valid`)
+      valid [G, rows] bool: r < count(g)
+      keep  [G, Asub] bool: set rows with rank < rows (overflow excluded)
+    """
+    rank = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
+    keep = mask & (rank < rows)
+    oh = (jnp.where(mask, rank, -1)[:, None, :]
+          == jnp.arange(rows)[None, :, None])            # [G, rows, Asub]
+    slot = jnp.argmax(oh, axis=2).astype(jnp.int32)
+    valid = (jnp.arange(rows)[None, :]
+             < jnp.sum(mask.astype(jnp.int32), axis=1, keepdims=True))
+    return slot, valid, keep
+
+
+def taa_gather(payload: jax.Array, slot: jax.Array) -> jax.Array:
+    """[G, Asub, C] payload x [G, rows] slot -> [G, rows, C] compaction.
+
+    Pure data movement (exact for every dtype — no matmul transport, so no
+    bf16 operand truncation and no need for split3). The gathered axis is
+    the SUBLANE axis (C rides the lanes), which TPU lowers efficiently —
+    this is not the forbidden lane-axis dynamic gather (CLAUDE.md): a
+    [G, Asub] scalar field must ride inside a [G, Asub, C] payload, never
+    be gathered as its own trailing-dim-free array.
+    Rows with r >= count(g) replicate slot 0's data — mask with `valid`.
+    """
+    return jnp.take_along_axis(payload, slot[:, :, None], axis=1)
+
+
+def taa_scatter(src: jax.Array, slot: jax.Array, valid: jax.Array,
+                Asub: int) -> jax.Array:
+    """[G, rows, C] src -> [G, Asub, C] expansion: dst[g, slot[g, r]] =
+    src[g, r] for valid r, zeros elsewhere. Invalid rows are routed to a
+    padding row (index Asub) and sliced off, so they can never collide
+    with slot 0."""
+    G, rows, C = src.shape
+    slot_safe = jnp.where(valid, slot, Asub)
+    dst = jnp.zeros((G, Asub + 1, C), src.dtype)
+    dst = dst.at[jnp.arange(G)[:, None], slot_safe, :].set(src)
+    return dst[:, :Asub]
+
+
 def gather_rows(oh: jax.Array, payload: jax.Array) -> jax.Array:
     """[G, K, A] one-hot x [G, A, C] payload -> [G, K, C] f32 (compaction).
 

@@ -32,6 +32,7 @@ transition; death at t+1 terminates the trajectory with bootstrap 0.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Sequence
 
 import jax
@@ -42,11 +43,11 @@ from madrona_bots_tpu.config import NUM_ACTIONS, EnvConfig
 from madrona_bots_tpu.env import env as env_mod
 from madrona_bots_tpu.env.state import WorldState
 from madrona_bots_tpu.learn.a2c import SpeciesTrainState
-from madrona_bots_tpu.learn.obs import pack_obs_fields
-from madrona_bots_tpu.learn.pack import Packer, gather_rows, scatter_rows
+from madrona_bots_tpu.learn.pack import compact_slots, split3, taa_gather
 from madrona_bots_tpu.models.actor_critic import ActorCritic
 
 f32 = jnp.float32
+bf16 = jnp.bfloat16
 
 
 class Rollout(NamedTuple):
@@ -66,6 +67,33 @@ class Rollout(NamedTuple):
     next_alive: jax.Array   # bool [T, W, A]
 
 
+class RolloutC(NamedTuple):
+    """Record-compacted rollout (learner_slots_per_class set): the policy
+    forwards run full-width (trajectories are bit-identical to the
+    uncompacted trainer — compaction is purely a learner-batch
+    optimization), and ONE per-step batched gather (G = W*NS groups,
+    learn/pack.py taa_gather) compacts each (world, class)'s alive rows
+    into `rows` learner slots. `rec` carries the whole learner payload —
+    obs, input memory, action, logp, value — in one [G, rows, C] array so
+    the scan emits a single wide ys instead of per-field lane-padded ones.
+    The TPU rule behind this shape: every batched gather/scatter op at
+    G~8k+ costs ~1 ms regardless of payload width, so the design minimizes
+    OP COUNT (1 gather/step), not bytes. Only the GAE inputs stay
+    [W, A]-padded (the advantage recursion chains per agent SLOT across
+    steps; compacted row r binds to different agents at different t)."""
+    rec: jax.Array         # PD  [T, G*rows, C] packed learner rows
+                           # (G = W*NS; flattened so C stays the minor dim
+                           # — a [T, G, rows, C] ys tempts XLA into a
+                           # rows-minor layout that pads 12 -> 128, 10.7x)
+    valid: jax.Array       # bool [T, G*rows] (row r < alive count)
+    srcrow: jax.Array      # i32 [T, G*rows] global source slot in [0, A)
+    dropped: jax.Array     # i32 [T, NS] overflow rows beyond the cap
+    value_full: jax.Array  # f32 [T, W, A] full-width values (GAE)
+    alive: jax.Array       # bool [T, W, A] pre-step
+    reward: jax.Array      # f32 [T, W, A]
+    next_alive: jax.Array  # bool [T, W, A]
+
+
 def _flat_obs(depth, health, pos, semantic, surrounding, dtype=f32):
     """The 69-dim obs layout (util.py:23-28) from compact storage."""
     return jnp.concatenate([
@@ -76,10 +104,15 @@ def _flat_obs(depth, health, pos, semantic, surrounding, dtype=f32):
 
 def make_ppo_optimizer(lr: float = 3e-4, max_grad_norm: float = 0.5
                        ) -> optax.GradientTransformation:
-    return optax.chain(
+    # optax.flatten ravels the ~16 per-tensor Adam/clip states into single
+    # vectors: the per-minibatch optimizer step becomes ~10 vector ops
+    # instead of ~200 tiny per-tensor ops (each of which pays a fixed
+    # XLA-op cost 32x per PPO iteration). Semantics unchanged up to float
+    # association in the global norm.
+    return optax.flatten(optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
         optax.adam(lr, eps=1e-5),
-    )
+    ))
 
 
 def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
@@ -90,15 +123,29 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
                      lr: float = 3e-4, max_grad_norm: float = 0.5,
                      use_pallas: bool = False, optimizer=None,
                      compute_dtype=None, learner_slots_per_class=None,
-                     decorrelate: bool = True, compact_rollout: bool = True):
+                     decorrelate: bool = True):
     """Returns (ppo_iteration, optimizer).
 
     ppo_iteration(state, train_states, key) -> (state, train_states, metrics)
     collects `rollout_len` env steps with the current policies and performs
     `update_epochs x num_minibatches` clipped-surrogate updates per species.
-    """
+
+    learner_slots_per_class=L (< A/NS) turns on record compaction: the
+    rollout still runs full-width policy forwards (trajectories are
+    bit-identical to L=None — every alive agent acts; compaction never
+    changes behavior), but each step ONE batched gather packs the alive
+    rows of every (world, class) group into L learner slots (RolloutC), so
+    the update phase trains on ~alive rows instead of the padded capacity.
+    Overflow rows beyond L in a crowded group are excluded from the
+    LEARNER BATCH only (their transitions go untrained that step, counted
+    in species_*_dropped_rows — zero at typical populations)."""
     if optimizer is None:
         optimizer = make_ppo_optimizer(lr, max_grad_norm)
+    # Profiling ablation (like MBOTS_STEP_SECTIONS for the systems kernel):
+    # MBOTS_PPO_STAGE=rollout|buffers truncates ppo_iteration after that
+    # stage, returning a checksum metric instead of training — attribution
+    # tool for artifacts/ppo_bisect.py, not a production mode.
+    _stage = os.environ.get("MBOTS_PPO_STAGE", "")
     NS = cfg.num_species
     T = rollout_len
     cd = compute_dtype
@@ -122,126 +169,136 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
     _fwd_remat = jax.checkpoint(_fwd, static_argnums=(0,))
 
     def policy_step(params_list, state: WorldState, key):
-        """Sample actions for every species; returns [W, A]-shaped records.
+        """Sample actions for every species; returns [W, A]-shaped outputs
+        plus the [W, A, D] obs the forwards consumed (for record packing).
 
         Slots are species-class partitioned (SPEC D2b), so each species'
         batch is the contiguous strided view [:, :, s] — each net forwards
-        only its own 1/NS of the rows, no sort/gather. With
-        learner_slots_per_class the rollout forwards also run on alive-row
-        compacted batches (overflow agents beyond the cap act null that
-        step — same negligible-drop cap as the update path)."""
+        only its own 1/NS of the rows, no sort/gather. Forwards always run
+        full-width: compacting them was measured SLOWER on TPU (each
+        per-species gather/scatter op costs ~1 ms at W=8192 regardless of
+        payload width — 128 extra ops per 16-step rollout — while the
+        full-width forwards only cost ~6 ms/step total)."""
         W, A = state.alive.shape
         Asub = A // NS
-        rows = (Asub if not compact_rollout or learner_slots_per_class is None
-                or learner_slots_per_class >= Asub else learner_slots_per_class)
-        Nc = W * rows
+        Nc = W * Asub
         obs_dtype = f32 if cd is None else cd
-        if rows == Asub:
-            obs = _flat_obs(state.sensor_depth, state.health, state.pos,
-                            state.sensor_semantic, state.surrounding,
-                            obs_dtype)
-            obs4 = obs.reshape(W, Asub, NS, obs.shape[-1])
+        obs = _flat_obs(state.sensor_depth, state.health, state.pos,
+                        state.sensor_semantic, state.surrounding, obs_dtype)
+        obs4 = obs.reshape(W, Asub, NS, obs.shape[-1])
         H = state.hidden.shape[-1]
-
-        def cls(x, s):
-            return x.reshape((W, Asub, NS) + x.shape[2:])[:, :, s]
-
         mem4 = state.hidden.reshape(W, Asub, NS, H)
         alive3 = state.alive.reshape(W, Asub, NS)
         sp3 = state.species.reshape(W, Asub, NS)
-        a_c, lp_c, v_c, h_c, k_c = [], [], [], [], []
+        a_c, lp_c, v_c, h_c = [], [], [], []
         for s in range(NS):
             m3 = alive3[:, :, s] & (sp3[:, :, s] == s + 1)      # [W, Asub]
-            kept = jnp.ones_like(m3)
-            if rows < Asub:
-                rank = jnp.cumsum(m3.astype(jnp.int32), axis=1) - 1
-                keep = m3 & (rank < rows)
-                # Overflow agents beyond the cap must act NULL (all-zero
-                # action vector), not one_hot(0)=FORWARD: the caller masks
-                # its one-hot by this kept flag (advisor r2, medium).
-                kept = keep | ~m3
-                oh = ((rank[:, None, :] == jnp.arange(rows)[None, :, None])
-                      & keep[:, None, :])                        # [W, r, Asub]
-
-                # Obs fields + memory + mask ride ONE exact bf16 gather
-                # (learn/pack.py); the full [W, A, 69] obs tensor is never
-                # materialized.
-                pk = Packer()
-                fin_obs = pack_obs_fields(
-                    pk, cls(state.sensor_depth, s), cls(state.health, s),
-                    cls(state.pos, s), cls(state.sensor_semantic, s),
-                    cls(state.surrounding, s), dtype=obs_dtype)
-                (pk.add_bf16 if cd is not None else pk.add_f32)(mem4[:, :, s])
-                pk.add_int(m3)
-                fld = pk.unpack(gather_rows(oh, pk.payload()))
-                o_in = fin_obs(*fld[0:5]).reshape(Nc, -1)
-                m_in = fld[5].reshape(Nc, H)
-                mk = fld[6].reshape(Nc)
-            else:
-                o_in = obs4[:, :, s].reshape(Nc, obs4.shape[-1])
-                m_in = mem4[:, :, s].reshape(Nc, H)
-                mk = m3.reshape(Nc).astype(f32)
-            logits, v, h = _fwd(s, params_list[s], o_in, m_in)
+            logits, v, h = _fwd(s, params_list[s],
+                                obs4[:, :, s].reshape(Nc, obs4.shape[-1]),
+                                mem4[:, :, s].reshape(Nc, H))
             a = jax.random.categorical(jax.random.fold_in(key, s), logits)
             lsm = jax.nn.log_softmax(logits, -1)
             lp = jnp.sum(lsm * jax.nn.one_hot(a, lsm.shape[-1],
                                               dtype=lsm.dtype), axis=1)
-            mb = mk > 0.5
-            if rows < Asub:
-                # One exact bf16 scatter for all four write-backs (action
-                # ids < 6 are int-exact; logp/value ride the 3-way split;
-                # new memory is bf16-exact in bf16 mode).
-                spk = Packer()
-                spk.add_int(jnp.where(mb, a, 0).reshape(W, rows))
-                spk.add_f32(jnp.where(mb, lp, 0.0).reshape(W, rows))
-                spk.add_f32(jnp.where(mb, v, 0.0).reshape(W, rows))
-                (spk.add_bf16 if cd is not None else spk.add_f32)(
-                    (h * mk[:, None]).reshape(W, rows, H))
-                so = spk.unpack(scatter_rows(oh, spk.payload()))
-                a_c.append(so[0].astype(jnp.int32))
-                lp_c.append(so[1])
-                v_c.append(so[2])
-                h_c.append(so[3])
-            else:
-                a_c.append(jnp.where(mb, a, 0).reshape(W, Asub))
-                lp_c.append(jnp.where(mb, lp, 0.0).reshape(W, Asub))
-                v_c.append(jnp.where(mb, v, 0.0).reshape(W, Asub))
-                h_c.append((h * mk[:, None]).reshape(W, Asub, H))
-            k_c.append(kept)
+            mb = m3.reshape(Nc)
+            a_c.append(jnp.where(mb, a, 0).reshape(W, Asub))
+            lp_c.append(jnp.where(mb, lp, 0.0).reshape(W, Asub))
+            v_c.append(jnp.where(mb, v, 0.0).reshape(W, Asub))
+            h_c.append((h * mb[:, None].astype(h.dtype)).reshape(W, Asub, H))
         action = jnp.stack(a_c, axis=2).reshape(W, A)
         logp = jnp.stack(lp_c, axis=2).reshape(W, A)
         value = jnp.stack(v_c, axis=2).reshape(W, A)
         new_hidden = jnp.stack(h_c, axis=2).reshape(state.hidden.shape)
-        kept_all = jnp.stack(k_c, axis=2).reshape(W, A)
-        return action, logp, value, new_hidden, kept_all
+        return action, logp, value, new_hidden, obs
+
+    def pack_records(state, obs, mem_in, action, logp, value, rows):
+        """ONE batched compaction gather for all (world, class) groups.
+
+        Builds the [G=W*NS, Asub, C] payload in the transport dtype
+        (class-major), gathers each group's alive rows into `rows` learner
+        slots (taa_gather — pure data movement, exact for every dtype),
+        and returns the RolloutC per-step record fields. In bf16 mode the
+        f32 loss scalars (logp, value) ride exact split3 triples; obs and
+        memory are recorded exactly as the forwards consumed them."""
+        W, A = state.alive.shape
+        Asub = A // NS
+        G = W * NS
+        PD = f32 if cd is None else cd
+        H = state.hidden.shape[-1]
+
+        def cm(x):
+            """[W, A(, k)] -> class-major [G, Asub(, k)]."""
+            x4 = x.reshape((W, Asub, NS) + x.shape[2:])
+            return jnp.swapaxes(x4, 1, 2).reshape((G, Asub) + x.shape[2:])
+
+        spec = jnp.arange(1, NS + 1, dtype=state.species.dtype)
+        m = cm(state.alive & (state.species
+                              == jnp.tile(spec, Asub)[None, :]))   # [G, Asub]
+        slot, valid, keep = compact_slots(m, rows)
+
+        # Concatenate in the NATIVE [W, A, .] layout first, then ONE
+        # class-major transpose of the whole payload — per-column cm()
+        # transposes each pay the fixed wide-op cost (~10 ops/step).
+        cols = [obs.astype(PD),
+                mem_in.reshape(W, A, H).astype(PD),
+                action[..., None].astype(PD)]
+        if cd is None:
+            cols += [logp[..., None], value[..., None]]
+        else:
+            cols += [p[..., None] for p in split3(logp)]
+            cols += [p[..., None] for p in split3(value)]
+        payload = cm(jnp.concatenate(cols, axis=-1))        # [G, Asub, C]
+        rec = taa_gather(payload, slot)                     # [G, rows, C]
+
+        # Global source slot of row r: slot indexes within the class, and
+        # class s occupies slots {i : i % NS == s} (SPEC D2b).
+        srcrow = (slot * NS
+                  + (jnp.arange(G, dtype=jnp.int32) % NS)[:, None])
+        m3 = m.reshape(W, NS, Asub)
+        dropped = (m3.sum(axis=(0, 2))
+                   - keep.reshape(W, NS, Asub).sum(axis=(0, 2)))
+        return (rec.reshape(G * rows, -1), valid.reshape(G * rows),
+                srcrow.reshape(G * rows), dropped.astype(jnp.int32))
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def ppo_iteration(state: WorldState, train_states, key):
         params_list = [ts.params for ts in train_states]
         W, A = state.alive.shape
+        rec_mode = (learner_slots_per_class is not None
+                    and learner_slots_per_class < A // NS)
 
         def env_body(carry, t):
             state, key = carry
             key, k_act = jax.random.split(key)
             mem_in = state.hidden
-            action, logp, value, new_hidden, kept = policy_step(
+            action, logp, value, new_hidden, obs = policy_step(
                 params_list, state, k_act)
             onehot = jax.nn.one_hot(action, NUM_ACTIONS, dtype=jnp.int32)
-            onehot = onehot * kept[..., None]   # overflow rows act null
-            rec_pre = dict(
-                depth=state.sensor_depth, semantic=state.sensor_semantic,
-                health=state.health, pos=state.pos,
-                surrounding=state.surrounding, memory=mem_in.reshape(W, A, -1),
-                species=state.species, alive=state.alive,
-                action=action.reshape(W, A).astype(jnp.int8),
-                logp=logp.reshape(W, A), value=value.reshape(W, A))
+            if rec_mode:
+                rec_r, valid_r, src_r, drop_r = pack_records(
+                    state, obs, mem_in, action, logp, value,
+                    learner_slots_per_class)
+                rec_pre = dict(rec=rec_r, valid=valid_r, srcrow=src_r,
+                               dropped=drop_r,
+                               value_full=value.reshape(W, A),
+                               alive=state.alive)
+            else:
+                rec_pre = dict(
+                    depth=state.sensor_depth,
+                    semantic=state.sensor_semantic,
+                    health=state.health, pos=state.pos,
+                    surrounding=state.surrounding,
+                    memory=mem_in.reshape(W, A, -1),
+                    species=state.species, alive=state.alive,
+                    action=action.reshape(W, A).astype(jnp.int8),
+                    logp=logp.reshape(W, A), value=value.reshape(W, A))
             state = state.replace(
                 action=onehot.reshape(W, A, NUM_ACTIONS) * state.alive[..., None],
                 hidden=new_hidden)
             state = env_mod.sensor_pass(
                 env_mod.step_systems(state, cfg, use_pallas), cfg, use_pallas)
-            rec = Rollout(reward=state.reward, next_alive=state.alive,
-                          **rec_pre)
+            rec = (RolloutC if rec_mode else Rollout)(
+                reward=state.reward, next_alive=state.alive, **rec_pre)
             return (state, key), rec
 
         (state, key), roll = jax.lax.scan(env_body, (state, key),
@@ -253,18 +310,29 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
         last_value = last_value.reshape(W, A)
 
         # GAE over the scan axis; continuing env (no resets, quirk Q7), agent
-        # death = terminal with 0 bootstrap.
-        def gae_body(carry, rec):
+        # death = terminal with 0 bootstrap. Always on the [W, A]-padded
+        # slot domain: the advantage recursion chains per agent slot.
+        value_t = roll.value_full if rec_mode else roll.value
+
+        def gae_body(carry, x):
+            r, al, nal, v = x
             gae, next_value = carry
-            alive_next = rec.next_alive & rec.alive
+            alive_next = nal & al
             nv = jnp.where(alive_next, next_value, 0.0)
-            delta = rec.reward + gamma * nv - rec.value
+            delta = r + gamma * nv - v
             gae = delta + gamma * gae_lambda * jnp.where(alive_next, gae, 0.0)
-            return (gae, rec.value), gae
+            return (gae, v), gae
 
         (_, _), advantages = jax.lax.scan(
-            gae_body, (jnp.zeros((W, A), f32), last_value), roll, reverse=True)
-        returns = advantages + roll.value
+            gae_body, (jnp.zeros((W, A), f32), last_value),
+            (roll.reward, roll.alive, roll.next_alive, value_t), reverse=True)
+        returns = advantages + value_t
+
+        if _stage == "rollout":
+            cks = advantages.sum() + sum(
+                jnp.sum(x.astype(f32)) for x in jax.tree.leaves(roll))
+            return state, train_states, {
+                "env_steps": jnp.float32(T * W), "stage_checksum": cks}
 
         # Per-class flatten [T, W, A, ...] -> [T*W*Asub, ...] for species s
         # (SPEC D2b: class rows are a contiguous strided view).
@@ -286,71 +354,121 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
         roll_off = (jax.random.randint(jax.random.fold_in(key, 777), (), 0, B)
                     if decorrelate else jnp.int32(0))
 
+        def mb_major(x):
+            # [B, ...] -> [M, mb, ...]: each minibatch becomes one
+            # CONTIGUOUS leading-axis slice. The optimization barrier at
+            # the call sites forces XLA to materialize this layout once
+            # instead of re-fusing the obs reconstruction + roll + strided
+            # pick into every minibatch update (measured 38 -> ~15 ms per
+            # 1M-row update on v5e).
+            return jnp.swapaxes(
+                x.reshape((mb, num_minibatches) + x.shape[1:]), 0, 1)
+
+        def record_update_buffers():
+            """Update buffers straight from the record-compacted rollout:
+            obs/mem/act/logp/value live in RolloutC.rec columns exactly as
+            the policy consumed/produced them — the only re-gather is the
+            GAE outputs. Advantages are gathered at the recorded source
+            slots by a T-chunked batched one-hot contraction (exact bf16
+            split3 transport), and returns = adv + recorded value
+            (bit-identical to gathering `returns`: value_full at a valid
+            row IS the recorded value)."""
+            K = NS * rows
+            D = cfg.obs_dim
+            H = roll.rec.shape[-1] - D - 1 - (2 if cd is None else 6)
+
+            # [T, G*rows] -> [T, W, K] with k = s*rows + r (G = W*NS).
+            srcK = roll.srcrow.reshape(T, W, K)
+            # The f32 advantages ride three exact bf16 planes kept as
+            # SEPARATE [T, W, A] arrays — a stacked [T, W, A, 3] form pads
+            # its minor dim 3 -> 128 (4.3 GB of HLO temp at 8192 worlds).
+            # Each plane contracts as a batched one-hot matvec per T-chunk
+            # (~1 ms/op floor: fewer, bigger ops); chunked so the
+            # [CH*W, K, A] one-hot temp stays ~<=450 MB.
+            adv_planes = split3(advantages)                 # 3x [T, W, A]
+            CH = next((c for c in (16, 8, 4, 2, 1)
+                       if T % c == 0 and c * W * K * A * 2 <= 450e6), 1)
+
+            def adv_chunk(args):
+                src_c = args[0]                 # [CH, W, K] i32
+                oh = (src_c[..., None]
+                      == jnp.arange(A, dtype=src_c.dtype)).astype(bf16)
+                return sum(jnp.einsum("gka,ga->gk",
+                                      oh.reshape(CH * W, K, A),
+                                      p.reshape(CH * W, A),
+                                      preferred_element_type=f32)
+                           for p in args[1:]).reshape(CH, W, K)
+
+            def chch(x):
+                return x.reshape((T // CH, CH) + x.shape[1:])
+
+            # One-hot x bf16 planes accumulate in f32; the 3-plane re-sum
+            # is exact (learn/pack.py split3 invariant).
+            adv_k = jax.lax.map(
+                adv_chunk, tuple(chch(x) for x in (srcK,) + adv_planes)
+            ).reshape(T, W, K)
+
+            rec5 = roll.rec.reshape(T, W, NS, rows, -1)
+            valid5 = roll.valid.reshape(T, W, NS, rows)
+            adv5 = adv_k.reshape(T, W, NS, rows)
+            dropped_ns = roll.dropped.sum(axis=0)           # [NS]
+            c0 = D + H + 1                                  # scalar cols
+            bufs, dropped = [], []
+            for s in range(NS):
+                # Roll + minibatch-major + barrier HERE so each species'
+                # buffers materialize immediately and the record tensor
+                # is dead before the first minibatch update runs. obs and
+                # memory stay FUSED in one [B, D+H] buffer: a separate
+                # [B, H=16] memory buffer pads its minor dim 16 -> 128
+                # (8x HBM).
+                if cd is None:
+                    lp = rec5[:, :, s, :, c0].reshape(B)
+                    vv = rec5[:, :, s, :, c0 + 1].reshape(B)
+                else:
+                    lp = sum(rec5[:, :, s, :, c0 + i].astype(f32)
+                             for i in range(3)).reshape(B)
+                    vv = sum(rec5[:, :, s, :, c0 + 3 + i].astype(f32)
+                             for i in range(3)).reshape(B)
+                ad = adv5[:, :, s].reshape(B)
+                bufs.append(jax.lax.optimization_barrier(tuple(
+                    mb_major(jnp.roll(x, roll_off, axis=0)) for x in (
+                        rec5[:, :, s, :, 0:D + H].reshape(B, D + H),
+                        rec5[:, :, s, :, D + H]
+                        .astype(jnp.int32).reshape(B),
+                        lp, ad, ad + vv, vv,
+                        valid5[:, :, s].reshape(B)))))
+                dropped.append(dropped_ns[s])
+            return bufs, dropped
+
+        if rows < Asub:
+            sp_bufs, sp_dropped = record_update_buffers()
+        else:
+            sp_bufs, sp_dropped = None, None
+
+        if _stage == "buffers":
+            cks = advantages.sum()
+            if sp_bufs is not None:
+                cks = cks + sum(jnp.sum(b.astype(f32))
+                                for bufs in sp_bufs for b in bufs)
+            return state, train_states, {
+                "env_steps": jnp.float32(T * W), "stage_checksum": cks}
+
         def update_species(s, ts):
-            mask_full = fl(roll.alive, s) & (fl(roll.species, s) == s + 1)
+            if rec_mode:
+                # SPEC D2b: an alive slot i always carries species
+                # (i % NS) + 1, so the class-strided alive view IS the
+                # species mask (RolloutC stores no species field).
+                mask_full = fl(roll.alive, s)
+            else:
+                mask_full = fl(roll.alive, s) & (fl(roll.species, s) == s + 1)
             reward_total = jnp.sum(fl(roll.reward, s) * mask_full)
             count_total = mask_full.sum()
 
             if rows < Asub:
-                # Learner-row compaction: only ~pop/Asub of the padded class
-                # slots are alive, so gather each (t, w) group's alive rows
-                # into the first `rows` learner slots. ALL buffers (obs
-                # fields straight from the rollout records, memory, action,
-                # logp, advantages, returns, values, mask) ride ONE exact
-                # bf16 contraction (learn/pack.py) — the full [B, 69] obs
-                # buffer is never built. Groups with more than `rows` alive
-                # agents drop the highest-slot overflow; the dropped
-                # fraction is reported as species_*_dropped_rows (zero at
-                # typical populations).
-                #
-                # The gather runs as a lax.map over the T axis: a single
-                # whole-buffer pack at G = T*W groups makes XLA materialize
-                # padded bf16 payload temps for the entire rollout at once
-                # (each [G, Asub, 1] scalar column pads 128x on the lane
-                # axis — 26 GB of HLO temp at 8192 worlds, OOM on v5e).
-                # Per-t chunks keep only one step's intermediates live.
-                def fl4(x):
-                    x5 = x.reshape((T, W, Asub, NS) + x.shape[3:])
-                    return x5[:, :, :, s]
-
-                def compact_t(sl):
-                    (d_t, h_t, p_t, sm_t, su_t, mem_t, act_t, lp_t,
-                     adv_t, ret_t, val_t, m3_t) = sl
-                    rank = jnp.cumsum(m3_t.astype(jnp.int32), axis=1) - 1
-                    keep = m3_t & (rank < rows)
-                    oh = ((rank[:, None, :]
-                           == jnp.arange(rows)[None, :, None])
-                          & keep[:, None, :])              # [W, rows, Asub]
-                    pk = Packer()
-                    fin_obs = pack_obs_fields(
-                        pk, d_t, h_t, p_t, sm_t, su_t,
-                        dtype=f32 if cd is None else cd)
-                    pk.add_f32(mem_t)
-                    pk.add_int(act_t)
-                    pk.add_f32(lp_t)
-                    pk.add_f32(adv_t)
-                    pk.add_f32(ret_t)
-                    pk.add_f32(val_t)
-                    pk.add_int(m3_t)
-                    fld = pk.unpack(gather_rows(oh, pk.payload()))
-                    return (fin_obs(*fld[0:5]),) + tuple(fld[5:12]) + (
-                        keep.sum(),)
-
-                outs = jax.lax.map(compact_t, (
-                    fl4(roll.depth), fl4(roll.health), fl4(roll.pos),
-                    fl4(roll.semantic), fl4(roll.surrounding),
-                    fl4(roll.memory), fl4(roll.action), fl4(roll.logp),
-                    fl4(advantages), fl4(returns), fl4(roll.value),
-                    mask_full.reshape(T, W, Asub)))
-                obs_all = outs[0].reshape(B, -1)
-                mem_b = outs[1].reshape(B, -1)
-                act_b = outs[2].astype(jnp.int32).reshape(B)
-                logp_b = outs[3].reshape(B)
-                adv_b = outs[4].reshape(B)
-                ret_b = outs[5].reshape(B)
-                val_b = outs[6].reshape(B)
-                mask_sp = outs[7].reshape(B) > 0.5
-                dropped = count_total - outs[8].sum()
+                # Already rolled, minibatch-major, and barrier'd in
+                # record_update_buffers.
+                bufs = sp_bufs[s]
+                dropped = sp_dropped[s]
             else:
                 obs_all = _flat_obs(
                     fl(roll.depth, s), fl(roll.health, s), fl(roll.pos, s),
@@ -364,24 +482,18 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
                 val_b = fl(roll.value, s)
                 mask_sp = mask_full
                 dropped = jnp.int32(0)
+                om = jnp.concatenate(
+                    [obs_all, mem_b.astype(obs_all.dtype)], axis=-1)
+                bufs = jax.lax.optimization_barrier(tuple(
+                    mb_major(jnp.roll(x, roll_off, axis=0))
+                    for x in (om, act_b, logp_b,
+                              adv_b, ret_b, val_b, mask_sp)))
 
-            def mb_major(x):
-                # [B, ...] -> [M, mb, ...]: each minibatch becomes one
-                # CONTIGUOUS leading-axis slice. The optimization barrier
-                # forces XLA to materialize this layout once instead of
-                # re-fusing the obs reconstruction + roll + strided pick
-                # into every minibatch update (measured 38 -> ~15 ms per
-                # 1M-row update on v5e).
-                return jnp.swapaxes(
-                    x.reshape((mb, num_minibatches) + x.shape[1:]), 0, 1)
-
-            bufs = jax.lax.optimization_barrier(tuple(
-                mb_major(jnp.roll(x, roll_off, axis=0))
-                for x in (obs_all, mem_b, act_b, logp_b,
-                          adv_b, ret_b, val_b, mask_sp)))
+            D_obs = cfg.obs_dim
 
             def loss_fn(params, picked):
-                o, m, a, lp_old, adv, ret, vold, msk = picked
+                om, a, lp_old, adv, ret, vold, msk = picked
+                o, m = om[:, :D_obs], om[:, D_obs:]
                 w = msk.astype(f32)
                 denom = jnp.maximum(w.sum(), 1.0)
                 # normalize advantages over the species minibatch

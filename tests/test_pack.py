@@ -72,3 +72,58 @@ def test_packer_roundtrip_bit_exact():
     for g in range(G):
         expect[g][perm[g]] = np.asarray(out[1])[g]
     np.testing.assert_array_equal(np.asarray(back), expect)
+
+
+def test_compact_slots_and_taa_roundtrip():
+    """compact_slots rank indices + taa_gather/taa_scatter: gathered rows
+    are exactly the ascending alive rows (any dtype, bit-exact — pure data
+    movement), invalid rows are flagged, overflow is excluded from `keep`,
+    and the scatter expansion routes invalid rows away from slot 0."""
+    from madrona_bots_tpu.learn.pack import (compact_slots, taa_gather,
+                                             taa_scatter)
+    rng = np.random.default_rng(2)
+    G, Asub, rows, C = 9, 16, 5, 3
+    mask = jnp.asarray(rng.random((G, Asub)) > 0.6)
+    payload = jnp.asarray(rng.standard_normal((G, Asub, C)).astype(np.float32)
+                          * 10 ** rng.integers(-20, 20, (G, Asub, C))
+                          .astype(np.float32))
+
+    slot, valid, keep = compact_slots(mask, rows)
+    g = taa_gather(payload, slot)
+
+    m = np.asarray(mask)
+    for gi in range(G):
+        srcs = np.flatnonzero(m[gi])
+        n = min(len(srcs), rows)
+        # slot/valid agree with the per-group rank compaction
+        np.testing.assert_array_equal(np.asarray(slot)[gi, :n], srcs[:n])
+        np.testing.assert_array_equal(np.asarray(valid)[gi],
+                                      np.arange(rows) < len(srcs))
+        np.testing.assert_array_equal(
+            np.asarray(g)[gi, :n], np.asarray(payload)[gi, srcs[:n]])
+        # keep = alive rows that made the cut
+        expect_keep = np.zeros(Asub, bool)
+        expect_keep[srcs[:n]] = True
+        np.testing.assert_array_equal(np.asarray(keep)[gi], expect_keep)
+
+    back = taa_scatter(g, slot, valid, Asub)
+    expect = np.zeros((G, Asub, C), np.float32)
+    for gi in range(G):
+        srcs = np.flatnonzero(m[gi])[:rows]
+        expect[gi, srcs] = np.asarray(g)[gi, :len(srcs)]
+    np.testing.assert_array_equal(np.asarray(back), expect)
+
+
+def test_taa_scatter_empty_group_no_slot0_collision():
+    """A group with count=0 must scatter to all-zeros (invalid rows carry
+    slot index 0 — the padding-row routing keeps them off real slot 0)."""
+    from madrona_bots_tpu.learn.pack import (compact_slots, taa_gather,
+                                             taa_scatter)
+    mask = jnp.asarray(np.array([[False] * 8, [True] + [False] * 7]))
+    payload = jnp.arange(2 * 8 * 2, dtype=jnp.float32).reshape(2, 8, 2) + 1.0
+    slot, valid, _ = compact_slots(mask, 3)
+    g = taa_gather(payload, slot)
+    back = np.asarray(taa_scatter(g, slot, valid, 8))
+    assert (back[0] == 0).all()
+    np.testing.assert_array_equal(back[1, 0], np.asarray(payload)[1, 0])
+    assert (back[1, 1:] == 0).all()
