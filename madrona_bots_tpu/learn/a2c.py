@@ -27,11 +27,12 @@ from madrona_bots_tpu.config import NUM_ACTIONS, EnvConfig
 from madrona_bots_tpu.env import env as env_mod
 from madrona_bots_tpu.env.state import WorldState
 from madrona_bots_tpu.learn.obs import construct_obs
-from madrona_bots_tpu.learn.pack import compact_slots, split3, taa_gather, \
-    taa_scatter
+from madrona_bots_tpu.learn.pack import (compact_gather, compact_slots,
+                                          expand_scatter, split3)
 from madrona_bots_tpu.models.actor_critic import ActorCritic, compute_loss
 
 f32 = jnp.float32
+bf16 = jnp.bfloat16
 
 
 class SpeciesTrainState(NamedTuple):
@@ -203,20 +204,26 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
             # ONE batched compaction gather for all species at once
             # (G = W*NS groups). The TPU rule (learn/ppo.py RolloutC): a
             # batched gather/scatter op at G~8k+ costs ~1 ms regardless of
-            # payload width, so ALL learner inputs ride one taa_gather —
+            # payload width, so ALL learner inputs ride one compact_gather —
             # pure data movement, exact for every dtype (obs/memory cast
             # to the transport dtype FIRST, matching the uncompacted
             # forward's cast point; f32 rewards ride exact split3 triples
             # in bf16 mode). Replaces the r2 per-species one-hot einsum
             # pair, which paid ~8 contraction ops + 2 packer chains/tick.
-            G = W * NS
+            G = NS * W
             PD = obs_dtype
 
             def cm(x):
-                """[W, A(, k)] -> class-major [G, Asub(, k)]."""
+                """[W, A(, k)] -> class-OUTERMOST [G=NS*W, Asub(, k)].
+
+                Species outermost (g = s*W + w) makes every per-species
+                slice of the gathered payload a CONTIGUOUS view — the
+                [W, NS, ...] ordering turns each species' 8 update-input
+                slices into strided copies that each pay the fixed
+                wide-op cost (~32 ops/tick, the whole compaction win)."""
                 x4 = x.reshape((W, Asub, NS) + x.shape[2:])
-                return jnp.swapaxes(x4, 1, 2).reshape(
-                    (G, Asub) + x.shape[2:])
+                perm = (2, 0, 1) + tuple(range(3, x4.ndim))
+                return x4.transpose(perm).reshape((G, Asub) + x.shape[2:])
 
             spec_tile = jnp.tile(
                 jnp.arange(1, NS + 1, dtype=state.species.dtype), Asub)
@@ -236,11 +243,12 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
                 cols.append(state.reward[..., None])
             else:
                 cols += [p[..., None] for p in split3(state.reward)]
-            grec = taa_gather(cm(jnp.concatenate(cols, axis=-1)), slot)
-            grec4 = grec.reshape(W, NS, rows, grec.shape[-1])
-            valid3 = valid_g.reshape(W, NS, rows)
-            m_sums = m.reshape(W, NS, Asub).sum(axis=(0, 2))
-            k_sums = keep.reshape(W, NS, Asub).sum(axis=(0, 2))
+            grec = compact_gather(cm(jnp.concatenate(cols, axis=-1)),
+                                  slot, valid_g)
+            grec4 = grec.reshape(NS, W, rows, grec.shape[-1])
+            valid3 = valid_g.reshape(NS, W, rows)
+            m_sums = m.reshape(NS, W, Asub).sum(axis=(1, 2))
+            k_sums = keep.reshape(NS, W, Asub).sum(axis=(1, 2))
             c0 = 2 * D + 2 * H                              # scalar cols
 
         action_cols, hidden_cols = [], []
@@ -254,8 +262,8 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
             lm3 = mask3 & (prev_sp3[:, :, s] == s + 1)
 
             if rows < Asub:
-                g = grec4[:, s]                             # [W, rows, C]
-                vmask = valid3[:, s].reshape(W * rows).astype(f32)
+                g = grec4[s]                    # [W, rows, C], contiguous
+                vmask = valid3[s].reshape(W * rows).astype(f32)
                 mask = vmask
                 loss_mask = (g[..., c0].astype(f32).reshape(W * rows)
                              * vmask)
@@ -295,7 +303,7 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
             onehot = jax.nn.one_hot(actions, NUM_ACTIONS, dtype=jnp.int32)
             if rows < Asub:
                 # Collect this species' [W, rows, 6+H] rows; ONE batched
-                # taa_scatter after the loop writes all species back
+                # expand_scatter after the loop writes all species back
                 # (exact: one-hots are 0/1; new memory is written in the
                 # dtype the next forward consumes).
                 onehot_rows.append(
@@ -328,12 +336,17 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
             # memory (invalid rows route to a padding slot — zeros stay at
             # un-gathered rows: dead slots AND dropped overflow act null,
             # zero memory, exactly like the r2 per-species scatter).
+            # bf16 mode transports memory in bf16 (the dtype the next
+            # forward consumes — same cast point as the r2 scatter);
+            # f32 mode rides the exact taa_scatter inside expand_scatter.
+            sdt = bf16 if compute_dtype == jnp.bfloat16 else f32
             src = jnp.stack([jnp.concatenate([o, mm], axis=-1)
                              for o, mm in zip(onehot_rows, mem_rows)],
-                            axis=1).reshape(W * NS, rows, NUM_ACTIONS + H)
-            out = taa_scatter(src, slot, valid_g, Asub)   # [G, Asub, 6+H]
-            out4 = jnp.swapaxes(
-                out.reshape(W, NS, Asub, NUM_ACTIONS + H), 1, 2)
+                            axis=0).reshape(G, rows,
+                                            NUM_ACTIONS + H).astype(sdt)
+            out = expand_scatter(src, slot, valid_g, Asub)  # [G, Asub, 6+H]
+            out4 = out.reshape(NS, W, Asub, NUM_ACTIONS + H).transpose(
+                (1, 2, 0, 3))                             # [W, Asub, NS, .]
             new_action = out4[..., :NUM_ACTIONS].astype(jnp.int32)
             new_hidden = out4[..., NUM_ACTIONS:]
         else:

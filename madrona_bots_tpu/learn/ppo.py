@@ -43,7 +43,7 @@ from madrona_bots_tpu.config import NUM_ACTIONS, EnvConfig
 from madrona_bots_tpu.env import env as env_mod
 from madrona_bots_tpu.env.state import WorldState
 from madrona_bots_tpu.learn.a2c import SpeciesTrainState
-from madrona_bots_tpu.learn.pack import compact_slots, split3, taa_gather
+from madrona_bots_tpu.learn.pack import compact_gather, compact_slots, split3
 from madrona_bots_tpu.models.actor_critic import ActorCritic
 
 f32 = jnp.float32
@@ -72,7 +72,7 @@ class RolloutC(NamedTuple):
     forwards run full-width (trajectories are bit-identical to the
     uncompacted trainer — compaction is purely a learner-batch
     optimization), and ONE per-step batched gather (G = W*NS groups,
-    learn/pack.py taa_gather) compacts each (world, class)'s alive rows
+    learn/pack.py compact_gather) compacts each (world, class)'s alive rows
     into `rows` learner slots. `rec` carries the whole learner payload —
     obs, input memory, action, logp, value — in one [G, rows, C] array so
     the scan emits a single wide ys instead of per-field lane-padded ones.
@@ -216,20 +216,24 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
 
         Builds the [G=W*NS, Asub, C] payload in the transport dtype
         (class-major), gathers each group's alive rows into `rows` learner
-        slots (taa_gather — pure data movement, exact for every dtype),
+        slots (compact_gather — exact transport in either mode),
         and returns the RolloutC per-step record fields. In bf16 mode the
         f32 loss scalars (logp, value) ride exact split3 triples; obs and
         memory are recorded exactly as the forwards consumed them."""
         W, A = state.alive.shape
         Asub = A // NS
-        G = W * NS
+        G = NS * W
         PD = f32 if cd is None else cd
         H = state.hidden.shape[-1]
 
         def cm(x):
-            """[W, A(, k)] -> class-major [G, Asub(, k)]."""
+            """[W, A(, k)] -> class-OUTERMOST [G=NS*W, Asub(, k)].
+
+            Species outermost (g = s*W + w) so the update phase slices
+            each species' rows as a CONTIGUOUS view (see a2c.py cm)."""
             x4 = x.reshape((W, Asub, NS) + x.shape[2:])
-            return jnp.swapaxes(x4, 1, 2).reshape((G, Asub) + x.shape[2:])
+            perm = (2, 0, 1) + tuple(range(3, x4.ndim))
+            return x4.transpose(perm).reshape((G, Asub) + x.shape[2:])
 
         spec = jnp.arange(1, NS + 1, dtype=state.species.dtype)
         m = cm(state.alive & (state.species
@@ -248,15 +252,15 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
             cols += [p[..., None] for p in split3(logp)]
             cols += [p[..., None] for p in split3(value)]
         payload = cm(jnp.concatenate(cols, axis=-1))        # [G, Asub, C]
-        rec = taa_gather(payload, slot)                     # [G, rows, C]
+        rec = compact_gather(payload, slot, valid)          # [G, rows, C]
 
         # Global source slot of row r: slot indexes within the class, and
-        # class s occupies slots {i : i % NS == s} (SPEC D2b).
+        # class s = g // W occupies slots {i : i % NS == s} (SPEC D2b).
         srcrow = (slot * NS
-                  + (jnp.arange(G, dtype=jnp.int32) % NS)[:, None])
-        m3 = m.reshape(W, NS, Asub)
-        dropped = (m3.sum(axis=(0, 2))
-                   - keep.reshape(W, NS, Asub).sum(axis=(0, 2)))
+                  + (jnp.arange(G, dtype=jnp.int32) // W)[:, None])
+        m3 = m.reshape(NS, W, Asub)
+        dropped = (m3.sum(axis=(1, 2))
+                   - keep.reshape(NS, W, Asub).sum(axis=(1, 2)))
         return (rec.reshape(G * rows, -1), valid.reshape(G * rows),
                 srcrow.reshape(G * rows), dropped.astype(jnp.int32))
 
@@ -377,8 +381,10 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
             D = cfg.obs_dim
             H = roll.rec.shape[-1] - D - 1 - (2 if cd is None else 6)
 
-            # [T, G*rows] -> [T, W, K] with k = s*rows + r (G = W*NS).
-            srcK = roll.srcrow.reshape(T, W, K)
+            # [T, G*rows] (class-outermost: g = s*W + w) -> [T, W, K]
+            # with k = s*rows + r; one cheap transpose of a 25 MB i32.
+            srcK = (roll.srcrow.reshape(T, NS, W, rows)
+                    .transpose((0, 2, 1, 3)).reshape(T, W, K))
             # The f32 advantages ride three exact bf16 planes kept as
             # SEPARATE [T, W, A] arrays — a stacked [T, W, A, 3] form pads
             # its minor dim 3 -> 128 (4.3 GB of HLO temp at 8192 worlds).
@@ -408,8 +414,8 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
                 adv_chunk, tuple(chch(x) for x in (srcK,) + adv_planes)
             ).reshape(T, W, K)
 
-            rec5 = roll.rec.reshape(T, W, NS, rows, -1)
-            valid5 = roll.valid.reshape(T, W, NS, rows)
+            rec5 = roll.rec.reshape(T, NS, W, rows, -1)
+            valid5 = roll.valid.reshape(T, NS, W, rows)
             adv5 = adv_k.reshape(T, W, NS, rows)
             dropped_ns = roll.dropped.sum(axis=0)           # [NS]
             c0 = D + H + 1                                  # scalar cols
@@ -422,21 +428,21 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
                 # [B, H=16] memory buffer pads its minor dim 16 -> 128
                 # (8x HBM).
                 if cd is None:
-                    lp = rec5[:, :, s, :, c0].reshape(B)
-                    vv = rec5[:, :, s, :, c0 + 1].reshape(B)
+                    lp = rec5[:, s, :, :, c0].reshape(B)
+                    vv = rec5[:, s, :, :, c0 + 1].reshape(B)
                 else:
-                    lp = sum(rec5[:, :, s, :, c0 + i].astype(f32)
+                    lp = sum(rec5[:, s, :, :, c0 + i].astype(f32)
                              for i in range(3)).reshape(B)
-                    vv = sum(rec5[:, :, s, :, c0 + 3 + i].astype(f32)
+                    vv = sum(rec5[:, s, :, :, c0 + 3 + i].astype(f32)
                              for i in range(3)).reshape(B)
                 ad = adv5[:, :, s].reshape(B)
                 bufs.append(jax.lax.optimization_barrier(tuple(
                     mb_major(jnp.roll(x, roll_off, axis=0)) for x in (
-                        rec5[:, :, s, :, 0:D + H].reshape(B, D + H),
-                        rec5[:, :, s, :, D + H]
+                        rec5[:, s, :, :, 0:D + H].reshape(B, D + H),
+                        rec5[:, s, :, :, D + H]
                         .astype(jnp.int32).reshape(B),
                         lp, ad, ad + vv, vv,
-                        valid5[:, :, s].reshape(B)))))
+                        valid5[:, s].reshape(B)))))
                 dropped.append(dropped_ns[s])
             return bufs, dropped
 
