@@ -4,8 +4,8 @@ BASELINE.json's north star names PPO as the scaling algorithm (configs 2-4);
 the reference itself only ships TD(0)-A2C (models.py:180-184), so A2C
 (learn/a2c.py) is the learning-curve-parity path and this module is the
 scale path. Everything stays on device: `lax.scan` collects a T-step rollout
-into compact buffers (sensor bytes stay uint8/int8 — the 69-dim float obs is
-reconstructed at update time), GAE runs over the scan axis, and each species
+(with learner slots set, each step record-compacts the learner rows via one
+batched gather — RolloutC), GAE runs over the scan axis, and each species
 takes clipped-surrogate minibatch updates. Worlds shard over the mesh like
 the A2C path; gradients psum via GSPMD.
 
@@ -161,12 +161,14 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
             mem if cd is None else mem.astype(cd))
         return logits.astype(f32), v.astype(f32), h.astype(f32)
 
-    # Rematerialized forward for the update loss: without checkpointing,
-    # every minibatch backward stores ~6 [mb, hidden] activation tensors
-    # to HBM (~600 MB per 393k-row update) — the dominant update cost on
-    # v5e. Recomputing them in the backward trades ~1/3 more FLOPs for
-    # that traffic.
-    _fwd_remat = jax.checkpoint(_fwd, static_argnums=(0,))
+    # Update-loss forward rematerialization is OFF by default since r3:
+    # with learner-row compaction the minibatch activations are only
+    # ~100 MB, and recomputing them in the backward measured 21 ms/iter
+    # SLOWER than storing them (8192w, slots=12). MBOTS_PPO_REMAT=1
+    # restores the r2 behavior (useful if slots/minibatch grow again).
+    _fwd_remat = (jax.checkpoint(_fwd, static_argnums=(0,))
+                  if os.environ.get("MBOTS_PPO_REMAT", "0") == "1"
+                  else _fwd)
 
     def policy_step(params_list, state: WorldState, key):
         """Sample actions for every species; returns [W, A]-shaped outputs
