@@ -26,7 +26,7 @@ import optax
 from madrona_bots_tpu.config import NUM_ACTIONS, EnvConfig
 from madrona_bots_tpu.env import env as env_mod
 from madrona_bots_tpu.env.state import WorldState
-from madrona_bots_tpu.learn.obs import construct_obs
+from madrona_bots_tpu.learn.obs import construct_obs, obs_field_cols
 from madrona_bots_tpu.learn.pack import (compact_gather, compact_slots,
                                           expand_scatter, split3)
 from madrona_bots_tpu.models.actor_critic import ActorCritic, compute_loss
@@ -180,11 +180,13 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
         obs_dtype = f32 if compute_dtype is None else compute_dtype
         D = cfg.obs_dim
         compacting = (Lcap is not None and Lcap < Asub)
-        obs_cur = construct_obs(state, cfg, prev=False,
-                                quirk_compat=quirk_compat, dtype=obs_dtype)
-        obs_prev = construct_obs(state, cfg, prev=True,
-                                 quirk_compat=quirk_compat, dtype=obs_dtype)
         if not compacting:
+            obs_cur = construct_obs(state, cfg, prev=False,
+                                    quirk_compat=quirk_compat,
+                                    dtype=obs_dtype)
+            obs_prev = construct_obs(state, cfg, prev=True,
+                                     quirk_compat=quirk_compat,
+                                     dtype=obs_dtype)
             obs_cur4 = obs_cur.reshape(W, Asub, NS, D)
             obs_prev4 = obs_prev.reshape(W, Asub, NS, D)
 
@@ -201,26 +203,24 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
         rows = Asub if Lcap is None or Lcap >= Asub else Lcap
 
         if compacting:
-            # ONE batched compaction gather for all species at once
-            # (G = W*NS groups). The TPU rule (learn/ppo.py RolloutC): a
-            # batched gather/scatter op at G~8k+ costs ~1 ms regardless of
-            # payload width, so ALL learner inputs ride one compact_gather —
-            # pure data movement, exact for every dtype (obs/memory cast
-            # to the transport dtype FIRST, matching the uncompacted
-            # forward's cast point; f32 rewards ride exact split3 triples
-            # in bf16 mode). Replaces the r2 per-species one-hot einsum
-            # pair, which paid ~8 contraction ops + 2 packer chains/tick.
-            G = NS * W
+            # ONE batched compaction gather for all species at once,
+            # class-OUTERMOST groups (G = NS*W, g = s*W + w): measured the
+            # fastest formulation on v5e — beats both the per-species r2
+            # einsum pair (8 ops/tick) and a full-slot [W, K, A] one-hot
+            # (the [G, rows, Asub] one-hot einsum is 32768 tiny matmuls
+            # that tile better than 8192 [48, 128] ones; 269.5k vs 251k
+            # A2C steps/s). The obs FIELD columns splice into the payload
+            # directly — the [W, A, D] obs tensors are never built.
+            # Exactness: bf16 mode's payload columns are bf16-exact by
+            # construction (obs/memory cast FIRST — the same value the
+            # uncompacted forward consumes; f32 rewards ride split3
+            # triples); f32 mode uses exact data movement
+            # (learn/pack.py compact_gather).
             PD = obs_dtype
+            G = NS * W
 
-            def cm(x):
-                """[W, A(, k)] -> class-OUTERMOST [G=NS*W, Asub(, k)].
-
-                Species outermost (g = s*W + w) makes every per-species
-                slice of the gathered payload a CONTIGUOUS view — the
-                [W, NS, ...] ordering turns each species' 8 update-input
-                slices into strided copies that each pay the fixed
-                wide-op cost (~32 ops/tick, the whole compaction win)."""
+            def cmaj(x):
+                """[W, A(, k)] -> class-outermost [G, Asub(, k)]."""
                 x4 = x.reshape((W, Asub, NS) + x.shape[2:])
                 perm = (2, 0, 1) + tuple(range(3, x4.ndim))
                 return x4.transpose(perm).reshape((G, Asub) + x.shape[2:])
@@ -229,21 +229,22 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
                 jnp.arange(1, NS + 1, dtype=state.species.dtype), Asub)
             m_full = state.alive & (state.species == spec_tile[None, :])
             lm_full = m_full & (state.prev_species == spec_tile[None, :])
-            m = cm(m_full)                                  # [G, Asub]
+            m = cmaj(m_full)                                # [G, Asub]
             slot, valid_g, keep = compact_slots(m, rows)
-            # Concatenate in the NATIVE [W, A, .] layout first, then ONE
-            # class-major transpose of the whole payload (per-column cm()
-            # transposes each pay the fixed wide-op cost).
-            cols = [obs_cur.astype(PD), obs_prev.astype(PD),
-                    state.hidden.reshape(W, A, H).astype(PD),
-                    state.prev_hidden.reshape(W, A, H).astype(PD),
-                    lm_full[..., None].astype(PD),
-                    jnp.argmax(state.action, axis=-1)[..., None].astype(PD)]
+
+            cols = obs_field_cols(state, cfg, prev=False,
+                                  quirk_compat=quirk_compat, dtype=PD)
+            cols += obs_field_cols(state, cfg, prev=True,
+                                   quirk_compat=quirk_compat, dtype=PD)
+            cols += [state.hidden.reshape(W, A, H).astype(PD),
+                     state.prev_hidden.reshape(W, A, H).astype(PD),
+                     lm_full[..., None].astype(PD),
+                     jnp.argmax(state.action, axis=-1)[..., None].astype(PD)]
             if compute_dtype is None:
                 cols.append(state.reward[..., None])
             else:
                 cols += [p[..., None] for p in split3(state.reward)]
-            grec = compact_gather(cm(jnp.concatenate(cols, axis=-1)),
+            grec = compact_gather(cmaj(jnp.concatenate(cols, axis=-1)),
                                   slot, valid_g)
             grec4 = grec.reshape(NS, W, rows, grec.shape[-1])
             valid3 = valid_g.reshape(NS, W, rows)
@@ -333,25 +334,31 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
 
         if rows < Asub:
             # ONE batched expansion scatter for all species' actions +
-            # memory (invalid rows route to a padding slot — zeros stay at
-            # un-gathered rows: dead slots AND dropped overflow act null,
-            # zero memory, exactly like the r2 per-species scatter).
-            # bf16 mode transports memory in bf16 (the dtype the next
-            # forward consumes — same cast point as the r2 scatter);
-            # f32 mode rides the exact taa_scatter inside expand_scatter.
+            # memory (zeros at rows no learner slot maps to: dead slots
+            # AND dropped overflow act null, zero memory — the r2
+            # semantics). bf16 mode transports memory in bf16 (the dtype
+            # the next forward consumes — same cast point as the r2
+            # scatter); f32 mode rides exact data movement inside
+            # expand_scatter.
             sdt = bf16 if compute_dtype == jnp.bfloat16 else f32
             src = jnp.stack([jnp.concatenate([o, mm], axis=-1)
                              for o, mm in zip(onehot_rows, mem_rows)],
                             axis=0).reshape(G, rows,
                                             NUM_ACTIONS + H).astype(sdt)
-            out = expand_scatter(src, slot, valid_g, Asub)  # [G, Asub, 6+H]
+            out = expand_scatter(src, slot, valid_g, Asub)  # [G, Asub, .]
             out4 = out.reshape(NS, W, Asub, NUM_ACTIONS + H).transpose(
                 (1, 2, 0, 3))                             # [W, Asub, NS, .]
             new_action = out4[..., :NUM_ACTIONS].astype(jnp.int32)
             new_hidden = out4[..., NUM_ACTIONS:]
-        else:
-            new_action = jnp.stack(action_cols, axis=2)  # [W, Asub, NS, 6]
-            new_hidden = jnp.stack(hidden_cols, axis=2)  # [W, Asub, NS, H]
+            state = env_mod.shift_observations_impl(state, cfg)
+            state = state.replace(
+                action=new_action.reshape(W, A, NUM_ACTIONS),
+                hidden=new_hidden.reshape(state.hidden.shape).astype(
+                    state.hidden.dtype))
+            return state, tuple(new_tstates), metrics
+
+        new_action = jnp.stack(action_cols, axis=2)  # [W, Asub, NS, 6]
+        new_hidden = jnp.stack(hidden_cols, axis=2)  # [W, Asub, NS, H]
 
         # shift, then write actions + memory (training_loop.py:135-137).
         state = env_mod.shift_observations_impl(state, cfg)

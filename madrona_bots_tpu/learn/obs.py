@@ -22,14 +22,12 @@ from madrona_bots_tpu.learn.pack import Packer, gather_rows
 f32 = jnp.float32
 
 
-def construct_obs(state: WorldState, cfg: EnvConfig, prev: bool = False,
-                  quirk_compat: bool = False, dtype=f32) -> jnp.ndarray:
-    """[W, A, obs_dim] in `dtype`. With quirk_compat=True the depth block
-    carries the semantic bytes (Q1, sim.cpp:98-104) and the health column is
-    the int32 storage bit-reinterpreted as float32 (Q2, mgr.cpp:329-346) —
-    the exact values the reference trains on. Building directly in bf16
-    halves the HBM traffic of the learner's obs reads (the dominant cost of
-    the train tick)."""
+def obs_field_cols(state: WorldState, cfg: EnvConfig, prev: bool = False,
+                   quirk_compat: bool = False, dtype=f32):
+    """The obs as a COLUMN LIST (util.py:23-28 order: depth 32, health 1,
+    pos 2, semantic 32, surrounding 2) so callers can splice the fields
+    into a larger payload with ONE concatenate instead of building the
+    [W, A, obs_dim] tensor first (a2c.py's compaction payload)."""
     if prev:
         depth = state.prev_sensor_depth
         semantic = state.prev_sensor_semantic
@@ -47,13 +45,21 @@ def construct_obs(state: WorldState, cfg: EnvConfig, prev: bool = False,
         depth = semantic.astype(jnp.uint8)
         health_col = jax.lax.bitcast_convert_type(
             health_col.astype(jnp.int32), f32)
-    return jnp.concatenate([
-        depth.astype(dtype),
-        health_col.astype(dtype),
-        pos.astype(dtype),
-        semantic.astype(dtype),
-        surrounding.astype(dtype),
-    ], axis=-1)
+    return [depth.astype(dtype), health_col.astype(dtype),
+            pos.astype(dtype), semantic.astype(dtype),
+            surrounding.astype(dtype)]
+
+
+def construct_obs(state: WorldState, cfg: EnvConfig, prev: bool = False,
+                  quirk_compat: bool = False, dtype=f32) -> jnp.ndarray:
+    """[W, A, obs_dim] in `dtype`. With quirk_compat=True the depth block
+    carries the semantic bytes (Q1, sim.cpp:98-104) and the health column is
+    the int32 storage bit-reinterpreted as float32 (Q2, mgr.cpp:329-346) —
+    the exact values the reference trains on. Building directly in bf16
+    halves the HBM traffic of the learner's obs reads (the dominant cost of
+    the train tick)."""
+    return jnp.concatenate(
+        obs_field_cols(state, cfg, prev, quirk_compat, dtype), axis=-1)
 
 
 def species_mask(state: WorldState, species_id: int) -> jnp.ndarray:
