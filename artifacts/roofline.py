@@ -75,7 +75,7 @@ def measure(init_agents, tag, report):
 
     def rand_act(s, k):
         a = jax.random.randint(k, (W, A), 0, NUM_ACTIONS)
-        return s.replace(action=jax.nn.one_hot(a, NUM_ACTIONS, jnp.int32))
+        return s.replace(action=jax.nn.one_hot(a, NUM_ACTIONS, dtype=jnp.int32))
 
     state = init_state(jax.random.key(0), cfg)
 
