@@ -44,6 +44,35 @@ def main():
     alive, species = state.alive, state.species
 
     for spec in sys.argv[1:]:
+        if spec.startswith("L"):
+            # Ladder kernel: "L,<unroll>[,sort]"
+            parts = [int(x) for x in spec.split(",")[1:]]
+            u = parts[0] if parts else 4
+            sortw = bool(parts[1]) if len(parts) > 1 else True
+
+            @jax.jit
+            def blockL(key, pos, heading, alive, species, u=u, sortw=sortw):
+                def f(carry, k):
+                    pos_b = pos + carry * jnp.float32(1e-30)
+                    d, s2, f2 = rp.raycast_pallas_ladder(
+                        pos_b, heading, alive, species, cfg,
+                        unroll=u, sort_worlds=sortw)
+                    return carry + jnp.sum(d.astype(jnp.float32)), ()
+                acc, _ = jax.lax.scan(f, jnp.float32(0),
+                                      jax.random.split(key, K))
+                return acc
+
+            acc = blockL(jax.random.key(1), pos, heading, alive, species)
+            jax.device_get(acc)
+            t0 = time.perf_counter()
+            for i in range(2):
+                acc = blockL(jax.random.fold_in(jax.random.key(2), i),
+                             pos, heading, alive, species)
+            jax.device_get(acc)
+            dt = (time.perf_counter() - t0) / 2 / K
+            print(f"ladder unroll={u} sort={int(sortw)}: {dt*1e3:8.3f} ms",
+                  flush=True)
+            continue
         parts = [int(x) for x in spec.split(",")]
         u, p = parts[0], parts[1]
         quad = bool(parts[2]) if len(parts) > 2 else False

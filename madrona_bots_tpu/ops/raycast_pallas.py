@@ -206,33 +206,16 @@ def _bf16_split3(x):
             h3.astype(jnp.bfloat16))
 
 
-def _kernel_packed(offs_ref, px_ref, py_ref, hd_ref, alive_ref,
-                   pkx_ref, pky_ref, pkh_ref, pks_ref,
-                   *rest,
-                   cfg: EnvConfig, pairs: int, unroll: int = 4,
-                   quad: bool = False):
-    if quad:
-        (qkx_ref, qky_ref, qkh_ref, qks_ref,
-         posx_s, posy_s, species_s, alive_s,
-         cx_s, cy_s, cslot_s, cspec_s, n_s, mode_s, modeq_s,
-         depth_ref, semantic_ref, finder_ref) = rest
-    else:
-        (posx_s, posy_s, species_s, alive_s,
-         cx_s, cy_s, cslot_s, cspec_s, n_s, mode_s,
-         depth_ref, semantic_ref, finder_ref) = rest
-    S = cfg.sensor_size
-    A = px_ref.shape[1]
-    half = A // 2
-    quarter = A // 4
+def _mk_tile_fns(cfg: EnvConfig, S: int, A: int):
+    """Shared per-tile fold/epilogue builders for the packed kernels.
+
+    Returns (make_visit, finalize, carry0); identical float arithmetic to
+    the v2 kernel so every packing mode stays bit-exact vs env/raycast.py."""
     r2 = jnp.float32(cfg.agent_radius * cfg.agent_radius)
     near = jnp.float32(cfg.near)
     limx = jnp.float32(cfg.world_lim_x)
     limy = jnp.float32(cfg.world_lim_y)
     scale = jnp.float32(255.0 / cfg.max_range)
-
-    offs = offs_ref[...].reshape(S, 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, A), 1)
-    half0 = lane < half
     safe = lambda d: jnp.where(d == 0, 1.0, d)
 
     def make_visit(px, py, cos_a, sin_a, cos_h, sin_h, srcslot):
@@ -290,6 +273,33 @@ def _kernel_packed(offs_ref, px_ref, py_ref, hd_ref, alive_ref,
                 jnp.zeros((S, A), jnp.int32),
                 jnp.full((1, A), _INF, jnp.float32),
                 jnp.full((1, A), -1, jnp.int32))
+
+    return make_visit, finalize, carry0
+
+
+def _kernel_packed(offs_ref, px_ref, py_ref, hd_ref, alive_ref,
+                   pkx_ref, pky_ref, pkh_ref, pks_ref,
+                   *rest,
+                   cfg: EnvConfig, pairs: int, unroll: int = 4,
+                   quad: bool = False):
+    if quad:
+        (qkx_ref, qky_ref, qkh_ref, qks_ref,
+         posx_s, posy_s, species_s, alive_s,
+         cx_s, cy_s, cslot_s, cspec_s, n_s, mode_s, modeq_s,
+         depth_ref, semantic_ref, finder_ref) = rest
+    else:
+        (posx_s, posy_s, species_s, alive_s,
+         cx_s, cy_s, cslot_s, cspec_s, n_s, mode_s,
+         depth_ref, semantic_ref, finder_ref) = rest
+    S = cfg.sensor_size
+    A = px_ref.shape[1]
+    half = A // 2
+    quarter = A // 4
+
+    offs = offs_ref[...].reshape(S, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, A), 1)
+    half0 = lane < half
+    make_visit, finalize, carry0 = _mk_tile_fns(cfg, S, A)
 
     def emit_quad(q):
         """4 worlds per tile: each owns a quarter of the lane axis, one
@@ -644,6 +654,394 @@ def raycast_pallas_packed(pos, heading, alive, species, cfg: EnvConfig,
     return depth, semantic, finder
 
 
+# ---------------------------------------------------------------------------
+# v4: quad/triple/pair ladder over 24-world blocks
+# ---------------------------------------------------------------------------
+#
+# The quad tiles (pop <= A/4 = 32) just miss the bench steady state (pop mean
+# 33.4, p95 36 — artifacts/popdist.py), so ~60% of worlds fall back to pair
+# tiles at twice the fan cost. The ladder adds a TRIPLE tile: three worlds
+# share the lane axis in segments of (A//3, A//3, A - 2*(A//3)) = (42, 42, 44)
+# lanes, covering populations up to 42/44 — effectively every world at steady
+# state. Mode choice is per 12-world group (LCM of 2/3/4 alignments): all-quad
+# when every aligned 4-group fits a quarter, else all-triple when every
+# aligned 3-group fits its segments, else the per-pair pair/single ladder.
+# With population-sorted grouping the 12-group max is close to its min, so
+# the group-uniform decision loses almost nothing vs per-tile choice.
+#
+# Bit-exactness: per-world arithmetic and the ascending-compacted-target fold
+# order are identical to the pair/quad kernel (shared _mk_tile_fns), so all
+# modes agree with env/raycast.py elementwise. Triple outputs are written in
+# their lane segments (no in-kernel roll: 42-lane rotates are untested in
+# Mosaic) and stripe-extracted back to rank rows [0, pop) on the XLA side.
+
+_LADDER_BW = 24   # worlds per grid block: 2 twelve-groups
+_LADDER_GRP = 48  # world-padding + population-sort group size
+
+
+def _kernel_ladder(offs_ref, px_ref, py_ref, hd_ref, alive_ref,
+                   pkx_ref, pky_ref, pkh_ref, pks_ref,
+                   qkx_ref, qky_ref, qkh_ref, qks_ref,
+                   posx_s, posy_s, species_s, alive_s,
+                   cx_s, cy_s, cslot_s, cspec_s, n_s, mode_s, m12_s,
+                   depth_ref, semantic_ref, finder_ref,
+                   *, cfg: EnvConfig, unroll: int = 4):
+    S = cfg.sensor_size
+    A = px_ref.shape[1]
+    half = A // 2
+    quarter = A // 4
+    tb1 = A // 3
+    tb2 = 2 * (A // 3)
+
+    offs = offs_ref[...].reshape(S, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, A), 1)
+    half0 = lane < half
+    tseg = (lane < tb1, (lane >= tb1) & (lane < tb2), lane >= tb2)
+    make_visit, finalize, carry0 = _mk_tile_fns(cfg, S, A)
+
+    def fold(px, py, hd, srcslot, target_of, nmax):
+        """Shared drive: trig prep, unrolled target fold, wall epilogue."""
+        ang = hd + offs
+        cos_a, sin_a = jnp.cos(ang), jnp.sin(ang)
+        cos_h, sin_h = jnp.cos(hd), jnp.sin(hd)
+        visit = make_visit(px, py, cos_a, sin_a, cos_h, sin_h, srcslot)
+
+        def body(i, carry):
+            for j in range(unroll):
+                b = unroll * i + j
+                carry = visit(carry, *target_of(b))
+            return carry
+
+        t_a, sem_a, f_t, f_arg = jax.lax.fori_loop(
+            0, (nmax + unroll - 1) // unroll, body, carry0())
+        return finalize(px, py, cos_a, sin_a, t_a, sem_a, f_t, f_arg)
+
+    def emit_quad(g, j):
+        qi = 3 * g + j
+        ws = tuple(12 * g + 4 * j + k for k in range(4))
+        seg = tuple((lane >= k * quarter) & (lane < (k + 1) * quarter)
+                    for k in range(4))
+
+        @pl.when(m12_s[0, g, 0] == 2)
+        def _q():
+            r, c = qi // 2, qi % 2
+            px = qkx_ref[r, c:c + 1, :]
+            py = qky_ref[r, c:c + 1, :]
+            hd = qkh_ref[r, c:c + 1, :]
+            srcslot = qks_ref[r, c:c + 1, :]
+            n = [n_s[w, 0] for w in ws]
+            nv = jnp.where(seg[0], n[0], jnp.where(seg[1], n[1],
+                           jnp.where(seg[2], n[2], n[3])))
+
+            def sel4(tab, b_safe):
+                v = [tab[w, b_safe] for w in ws]
+                return jnp.where(seg[0], v[0], jnp.where(seg[1], v[1],
+                                 jnp.where(seg[2], v[2], v[3])))
+
+            def target_of(b):
+                b_safe = jnp.minimum(b, quarter - 1)
+                return (sel4(cx_s, b_safe), sel4(cy_s, b_safe),
+                        sel4(cslot_s, b_safe), sel4(cspec_s, b_safe),
+                        nv > b)
+
+            nmax = jnp.maximum(jnp.maximum(n[0], n[1]),
+                               jnp.maximum(n[2], n[3]))
+            depth, semantic, finder = fold(px, py, hd, srcslot,
+                                           target_of, nmax)
+            for k, w in enumerate(ws):
+                sh = (A - k * quarter) % A
+                tsel = (lambda x, sh=sh: pltpu.roll(x, sh, 1)) if sh else \
+                    (lambda x: x)
+                depth_ref[w] = jnp.where(seg[0], tsel(depth),
+                                         0).astype(jnp.uint8)
+                semantic_ref[w] = jnp.where(seg[0], tsel(semantic),
+                                            -1).astype(jnp.int8)
+                finder_ref[w:w + 1, :] = jnp.where(seg[0], tsel(finder), -1)
+
+    def emit_triple(g, j):
+        ws = tuple(12 * g + 3 * j + k for k in range(3))
+        segoff = (0, tb1, tb2)
+        segw = (tb1, tb2 - tb1, A - tb2)
+
+        @pl.when(m12_s[0, g, 0] == 1)
+        def _t():
+            # Build the triple source tile from the pair-packed refs with
+            # lane rolls: world w's compacted rows sit in pair q = w//2 at
+            # lanes [half*(w%2), half*(w%2)+half); move them to this world's
+            # segment [segoff[k], segoff[k]+segw[k]). Constructing these
+            # tiles on the XLA side instead costs ~7 ms/field at 8192w (the
+            # stride-3 + unaligned-lane concat relayouts); in-kernel rolls
+            # are 3 ops/field.
+            def tri_tile(ref):
+                rows = []
+                for k, w in enumerate(ws):
+                    q, c = w // 2, w % 2
+                    row = ref[q // 2, q % 2:q % 2 + 1, :]
+                    sh = (segoff[k] - half * c) % A
+                    rows.append(pltpu.roll(row, sh, 1) if sh else row)
+                return jnp.where(tseg[0], rows[0],
+                                 jnp.where(tseg[1], rows[1], rows[2]))
+
+            px = tri_tile(pkx_ref)
+            py = tri_tile(pky_ref)
+            hd = tri_tile(pkh_ref)
+            srcslot = tri_tile(pks_ref)
+            n = [n_s[w, 0] for w in ws]
+            nv = jnp.where(tseg[0], n[0], jnp.where(tseg[1], n[1], n[2]))
+
+            def sel3(tab, b_safe):
+                v = [tab[w, b_safe] for w in ws]
+                return jnp.where(tseg[0], v[0],
+                                 jnp.where(tseg[1], v[1], v[2]))
+
+            def target_of(b):
+                b_safe = jnp.minimum(b, half - 1)
+                return (sel3(cx_s, b_safe), sel3(cy_s, b_safe),
+                        sel3(cslot_s, b_safe), sel3(cspec_s, b_safe),
+                        nv > b)
+
+            nmax = jnp.maximum(jnp.maximum(n[0], n[1]), n[2])
+            depth, semantic, finder = fold(px, py, hd, srcslot,
+                                           target_of, nmax)
+            # Roll each world's segment down to rank rows [0, segw[k]) so
+            # the epilogue is the same [:half] expansion as pair/quad mode.
+            for k, w in enumerate(ws):
+                sh = (A - segoff[k]) % A
+                tsel = (lambda x, sh=sh: pltpu.roll(x, sh, 1)) if sh else \
+                    (lambda x: x)
+                keep = lane < segw[k]
+                depth_ref[w] = jnp.where(keep, tsel(depth),
+                                         0).astype(jnp.uint8)
+                semantic_ref[w] = jnp.where(keep, tsel(semantic),
+                                            -1).astype(jnp.int8)
+                finder_ref[w:w + 1, :] = jnp.where(keep, tsel(finder), -1)
+
+    def emit_pair(p, cond):
+        w0, w1 = 2 * p, 2 * p + 1
+
+        @pl.when(cond)
+        def _p():
+            r, c = p // 2, p % 2
+            px = pkx_ref[r, c:c + 1, :]
+            py = pky_ref[r, c:c + 1, :]
+            hd = pkh_ref[r, c:c + 1, :]
+            srcslot = pks_ref[r, c:c + 1, :]
+            n0 = n_s[w0, 0]
+            n1 = n_s[w1, 0]
+            nv = jnp.where(half0, n0, n1)
+
+            def target_of(b):
+                b_safe = jnp.minimum(b, half - 1)
+                tx = jnp.where(half0, cx_s[w0, b_safe], cx_s[w1, b_safe])
+                ty = jnp.where(half0, cy_s[w0, b_safe], cy_s[w1, b_safe])
+                tslot = jnp.where(half0, cslot_s[w0, b_safe],
+                                  cslot_s[w1, b_safe])
+                tsp = jnp.where(half0, cspec_s[w0, b_safe],
+                                cspec_s[w1, b_safe])
+                return tx, ty, tslot, tsp, nv > b
+
+            depth, semantic, finder = fold(px, py, hd, srcslot, target_of,
+                                           jnp.maximum(n0, n1))
+            for w, tile_sel in ((w0, lambda x: x),
+                                (w1, lambda x: pltpu.roll(x, half, 1))):
+                depth_ref[w] = jnp.where(half0, tile_sel(depth),
+                                         0).astype(jnp.uint8)
+                semantic_ref[w] = jnp.where(half0, tile_sel(semantic),
+                                            -1).astype(jnp.int8)
+                finder_ref[w:w + 1, :] = jnp.where(half0, tile_sel(finder), -1)
+
+    def emit_single(p, cond):
+        @pl.when(cond)
+        def _s():
+            for w in (2 * p, 2 * p + 1):
+                px = px_ref[w:w + 1, :]
+                py = py_ref[w:w + 1, :]
+                hd = hd_ref[w:w + 1, :]
+                src_alive = alive_ref[w:w + 1, :] != 0
+
+                def target_of(b, w=w):
+                    b_safe = jnp.minimum(b, A - 1)
+                    return (jnp.full((1, A), posx_s[w, b_safe]),
+                            jnp.full((1, A), posy_s[w, b_safe]),
+                            jnp.full((1, A), b_safe),
+                            jnp.full((1, A), species_s[w, b_safe]),
+                            jnp.full((1, A),
+                                     (b < A) & (alive_s[w, b_safe] != 0)))
+
+                depth, semantic, finder = fold(px, py, hd, lane,
+                                               target_of, A)
+                depth_ref[w] = jnp.where(src_alive, depth,
+                                         0).astype(jnp.uint8)
+                semantic_ref[w] = jnp.where(src_alive, semantic,
+                                            -1).astype(jnp.int8)
+                finder_ref[w:w + 1, :] = jnp.where(src_alive, finder, -1)
+
+    for g in range(_LADDER_BW // 12):
+        for j in range(3):
+            emit_quad(g, j)
+        for j in range(4):
+            emit_triple(g, j)
+        for j in range(6):
+            p = 6 * g + j
+            m12g = m12_s[0, g, 0]
+            pm = mode_s[p // 2, p % 2, 0]
+            emit_pair(p, (m12g == 0) & (pm == 1))
+            emit_single(p, (m12g == 0) & (pm == 0))
+
+
+@partial(jax.jit, static_argnames=("cfg", "interpret", "unroll",
+                                   "sort_worlds", "force_m12", "raw_out"))
+def raycast_pallas_ladder(pos, heading, alive, species, cfg: EnvConfig,
+                          interpret: bool = False, unroll: int = 4,
+                          sort_worlds: bool = True, force_m12=None,
+                          raw_out: bool = False):
+    """Quad/triple/pair ladder raycast — same signature/outputs as
+    env.raycast.raycast. Any W (worlds are zero-padded to a multiple of 48);
+    requires A % 4 == 0, A >= 12, A <= 255."""
+    W0, A = heading.shape
+    S = cfg.sensor_size
+    half = A // 2
+    quarter = A // 4
+    tb1 = A // 3
+    tb2 = 2 * (A // 3)
+    tw = (tb1, tb2 - tb1, A - tb2)
+
+    W = -(-W0 // _LADDER_GRP) * _LADDER_GRP
+    if W != W0:
+        padw = W - W0
+        pad0 = lambda x: jnp.concatenate(
+            [x, jnp.zeros((padw,) + x.shape[1:], x.dtype)], axis=0)
+        pos = pad0(pos)
+        heading = pad0(heading)
+        alive = pad0(alive)
+        species = pad0(species)
+
+    if sort_worlds:
+        # Group-local population sort (see raycast_pallas_packed): stays
+        # shard-local under GSPMD and packs tiles of similar population.
+        grp = _LADDER_GRP
+        G = W // grp
+        pops = jnp.sum(alive.astype(jnp.int32), axis=1).reshape(G, grp)
+        perm = jnp.argsort(pops, axis=1)                         # stable
+        inv = jnp.argsort(perm, axis=1)
+
+        def _psort(x, idx):
+            xg = x.reshape((G, grp) + x.shape[1:])
+            ix = idx.reshape(idx.shape + (1,) * (xg.ndim - 2))
+            return jnp.take_along_axis(xg, ix, axis=1).reshape(x.shape)
+
+        pos = _psort(pos, perm)
+        heading = _psort(heading, perm)
+        alive = _psort(alive, perm)
+        species = _psort(species, perm)
+
+    posx = pos[..., 0]
+    posy = pos[..., 1]
+    alive_i = alive.astype(jnp.int32)
+    offs = jnp.asarray(ray_angle_offsets(cfg)).reshape(1, S)
+
+    # Rank compaction to A/2 lanes — identical to raycast_pallas_packed.
+    rank = jnp.cumsum(alive_i, axis=1) - 1                       # [W, A]
+    roh = (jnp.where(alive, rank, -1)[:, :, None]
+           == jnp.arange(half)[None, None, :]).astype(jnp.bfloat16)
+    lane_ids = jnp.broadcast_to(
+        jnp.arange(A, dtype=jnp.float32)[None, :], (W, A))
+    cols = (*_bf16_split3(posx), *_bf16_split3(posy), *_bf16_split3(heading),
+            lane_ids.astype(jnp.bfloat16),
+            species.astype(jnp.bfloat16))
+    payload = jnp.stack(cols, axis=-1)                           # [W, A, 11]
+    pk = jnp.einsum("war,waf->wrf", roh, payload,
+                    preferred_element_type=jnp.float32)          # [W, half, 11]
+    cx = pk[..., 0] + pk[..., 1] + pk[..., 2]                    # exact f32
+    cy = pk[..., 3] + pk[..., 4] + pk[..., 5]
+    ch = pk[..., 6] + pk[..., 7] + pk[..., 8]
+    cslot = pk[..., 9].astype(jnp.int32)
+    cspec = pk[..., 10].astype(jnp.int32)
+
+    n_alive = jnp.sum(alive_i, axis=1, keepdims=True)            # [W, 1]
+    mode = (n_alive.reshape(W // 2, 2).max(axis=1, keepdims=True)
+            <= half).astype(jnp.int32)                           # [W/2, 1]
+    npg = n_alive.reshape(W // 12, 12)
+    quad_ok = (npg.reshape(W // 12, 3, 4).max(axis=2)
+               <= quarter).all(axis=1)
+    nt = npg.reshape(W // 12, 4, 3)
+    tri_ok = ((nt[..., 0] <= tw[0]) & (nt[..., 1] <= tw[1])
+              & (nt[..., 2] <= tw[2])).all(axis=1)
+    m12 = jnp.where(quad_ok, 2,
+                    jnp.where(tri_ok, 1, 0)).astype(jnp.int32).reshape(-1, 1)
+    if force_m12 is not None:  # profiling bisect knob: pin every group's mode
+        m12 = jnp.full_like(m12, force_m12)
+
+    pk2 = [v.reshape(W // 4, 2, A) for v in (cx, cy, ch, cslot)]
+    qk2 = [v[:, :quarter].reshape(W // 8, 2, A)
+           for v in (cx, cy, ch, cslot)]
+
+    BW = _LADDER_BW
+    vm = pltpu.VMEM
+    sm = pltpu.SMEM
+    b2 = pl.BlockSpec((BW, A), lambda i: (i, 0), memory_space=vm)
+    bp = pl.BlockSpec((BW // 4, 2, A), lambda i: (i, 0, 0), memory_space=vm)
+    bq = pl.BlockSpec((BW // 8, 2, A), lambda i: (i, 0, 0), memory_space=vm)
+    offs_spec = pl.BlockSpec((1, S), lambda i: (0, 0), memory_space=vm)
+    s2 = pl.BlockSpec((BW, A), lambda i: (i, 0), memory_space=sm)
+    s2h = pl.BlockSpec((BW, half), lambda i: (i, 0), memory_space=sm)
+    s2n = pl.BlockSpec((BW, 1), lambda i: (i, 0), memory_space=sm)
+    # Mosaic's block rule (last two dims divisible by (8, 128) or equal to
+    # the array dims) applies to SMEM too: fold the pair-mode and 12-group
+    # mode vectors into a trailing full-size axis.
+    smode = pl.BlockSpec((BW // 4, 2, 1), lambda i: (i, 0, 0),
+                         memory_space=sm)
+    sm12 = pl.BlockSpec((1, BW // 12, 1), lambda i: (i, 0, 0),
+                        memory_space=sm)
+    out3 = pl.BlockSpec((BW, S, A), lambda i: (i, 0, 0), memory_space=vm)
+    out2 = pl.BlockSpec((BW, A), lambda i: (i, 0), memory_space=vm)
+
+    depth_t, semantic_t, finder_t = pl.pallas_call(
+        partial(_kernel_ladder, cfg=cfg, unroll=unroll),
+        grid=(W // BW,),
+        in_specs=[offs_spec, b2, b2, b2, b2, bp, bp, bp, bp,
+                  bq, bq, bq, bq,
+                  s2, s2, s2, s2, s2h, s2h, s2h, s2h, s2n, smode, sm12],
+        out_specs=(out3, out3, out2),
+        out_shape=(
+            jax.ShapeDtypeStruct((W, S, A), jnp.uint8),
+            jax.ShapeDtypeStruct((W, S, A), jnp.int8),
+            jax.ShapeDtypeStruct((W, A), jnp.int32),
+        ),
+        interpret=interpret,
+    )(offs, posx, posy, heading, alive_i, *pk2, *qk2,
+      posx, posy, species, alive_i, cx, cy, cslot, cspec, n_alive,
+      mode.reshape(W // 4, 2, 1), m12.reshape(W // 24, 2, 1))
+
+    if raw_out:  # profiling bisect knob: kernel outputs, no epilogue
+        return depth_t, semantic_t, finder_t
+
+    # Every packed mode (pair/quad/triple) leaves compacted rank rows in
+    # lanes [0, pop); expand back to slots with the transposed one-hot
+    # (integer payloads <= 255: bf16-exact; see raycast_pallas_packed).
+    payl = jnp.concatenate([
+        depth_t[:, :, :half].transpose(0, 2, 1).astype(jnp.bfloat16),
+        semantic_t[:, :, :half].transpose(0, 2, 1).astype(jnp.bfloat16),
+        finder_t[:, :half, None].astype(jnp.bfloat16),
+    ], axis=-1)                                                  # [W, half, 2S+1]
+    exp = jnp.einsum("war,wrf->waf", roh, payl,
+                     preferred_element_type=jnp.bfloat16)        # [W, A, 2S+1]
+    is2 = (mode[:, 0:1].repeat(2, axis=1).reshape(W, 1) == 1)    # [W, 1]
+    depth = jnp.where(is2[..., None], exp[..., :S].astype(jnp.uint8),
+                      depth_t.transpose(0, 2, 1))
+    semantic = jnp.where(is2[..., None], exp[..., S:2 * S].astype(jnp.int8),
+                         semantic_t.transpose(0, 2, 1))
+    finder = jnp.where(is2, exp[..., 2 * S].astype(jnp.int32), finder_t)
+    depth = jnp.where(alive[..., None], depth, 0)
+    semantic = jnp.where(alive[..., None], semantic, -1)
+    finder = jnp.where(alive, finder, -1)
+    if sort_worlds:
+        depth = _psort(depth, inv)
+        semantic = _psort(semantic, inv)
+        finder = _psort(finder, inv)
+    return depth[:W0], semantic[:W0], finder[:W0]
+
+
 @partial(jax.jit, static_argnames=("cfg", "worlds_per_block", "interpret"))
 def raycast_pallas_blocked(pos, heading, alive, species, cfg: EnvConfig,
                            worlds_per_block: int = 8, interpret: bool = False):
@@ -709,18 +1107,24 @@ def raycast_pallas_blocked(pos, heading, alive, species, cfg: EnvConfig,
 
 def raycast_pallas(pos, heading, alive, species, cfg: EnvConfig,
                    worlds_per_block: int = 8, interpret: bool = False):
-    """Production sensor pass: the pair/quad-packed kernel when the shape
-    allows (W even, A % 4 == 0, slot ids bf16-exact), else the v2 blocked
-    kernel. A/B knobs: MBOTS_RAYCAST_PACKED=0 forces the v2 path,
-    MBOTS_RAYCAST_QUAD=0 disables quad tiles, MBOTS_RAYCAST_SORT=0 disables
-    population-sorted world grouping."""
+    """Production sensor pass: the quad/triple/pair ladder kernel when the
+    shape allows (W >= 48, A % 4 == 0, slot ids bf16-exact), else the
+    pair/quad-packed kernel, else the v2 blocked kernel. A/B knobs:
+    MBOTS_RAYCAST_PACKED=0 forces the v2 path, MBOTS_RAYCAST_TRIPLE=0
+    disables the ladder (pair/quad only), MBOTS_RAYCAST_QUAD=0 disables quad
+    tiles, MBOTS_RAYCAST_SORT=0 disables population-sorted world grouping."""
     import os
     W, A = heading.shape
+    packed_ok = os.environ.get("MBOTS_RAYCAST_PACKED", "1") == "1"
+    sort_worlds = os.environ.get("MBOTS_RAYCAST_SORT", "1") == "1"
+    if (W >= _LADDER_GRP and 12 <= A <= 255 and A % 4 == 0 and packed_ok
+            and os.environ.get("MBOTS_RAYCAST_TRIPLE", "1") == "1"):
+        return raycast_pallas_ladder(pos, heading, alive, species, cfg,
+                                     interpret=interpret,
+                                     sort_worlds=sort_worlds)
     if (W % 2 == 0 and A % 4 == 0 and A <= 255
-            and _legal_pairs_block(W) is not None
-            and os.environ.get("MBOTS_RAYCAST_PACKED", "1") == "1"):
+            and _legal_pairs_block(W) is not None and packed_ok):
         quad = os.environ.get("MBOTS_RAYCAST_QUAD", "1") == "1"
-        sort_worlds = os.environ.get("MBOTS_RAYCAST_SORT", "1") == "1"
         return raycast_pallas_packed(pos, heading, alive, species, cfg,
                                      interpret=interpret, quad=quad,
                                      sort_worlds=sort_worlds)

@@ -211,3 +211,51 @@ def test_pallas_sorted_mixed_population():
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+
+
+@pytest.mark.parametrize("density", [0.18, 0.36, 0.6, 0.99])
+@pytest.mark.parametrize("sort_worlds", [False, True])
+def test_pallas_ladder_modes_match_reference(density, sort_worlds):
+    """The quad/triple/pair ladder kernel (v4) must equal the jnp reference
+    elementwise in every mode: density 0.18 -> 12-groups go all-quad, 0.36
+    -> all-triple, 0.6 -> the pair ladder, 0.99 -> the single-sweep
+    fallback; sorting permutes worlds by population within 48-groups and
+    must be inverted exactly on output."""
+    from madrona_bots_tpu.ops.raycast_pallas import raycast_pallas_ladder
+    cfg = EnvConfig(num_worlds=48, init_agents=8, max_agents=24)
+    k = jax.random.key(int(density * 100) + 7 * sort_worlds)
+    W, A = 48, 24
+    pos = jax.random.uniform(k, (W, A, 2)) * jnp.array([127.0, 95.0])
+    heading = jax.random.uniform(jax.random.fold_in(k, 1), (W, A)) * 6.28
+    alive = jax.random.uniform(jax.random.fold_in(k, 2), (W, A)) < density
+    species = jax.random.randint(jax.random.fold_in(k, 3), (W, A), 1, 5)
+
+    d1, s1, f1 = raycast(pos, heading, alive, species, cfg)
+    d2, s2, f2 = raycast_pallas_ladder(pos, heading, alive, species, cfg,
+                                       interpret=True,
+                                       sort_worlds=sort_worlds)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+def test_pallas_ladder_padding_and_mixed_population():
+    """World counts that are not a multiple of 48 are zero-padded (and the
+    pad worlds must not leak into outputs); mixed per-world populations make
+    quad/triple/pair/single tiles coexist in one launch."""
+    from madrona_bots_tpu.ops.raycast_pallas import raycast_pallas_ladder
+    cfg = EnvConfig(num_worlds=50, init_agents=8, max_agents=24)
+    k = jax.random.key(19)
+    W, A = 50, 24
+    pos = jax.random.uniform(k, (W, A, 2)) * jnp.array([127.0, 95.0])
+    heading = jax.random.uniform(jax.random.fold_in(k, 1), (W, A)) * 6.28
+    thr = (jnp.arange(W) % 9 + 1) / 9.0
+    alive = jax.random.uniform(jax.random.fold_in(k, 2), (W, A)) < thr[:, None]
+    species = jax.random.randint(jax.random.fold_in(k, 3), (W, A), 1, 5)
+
+    d1, s1, f1 = raycast(pos, heading, alive, species, cfg)
+    d2, s2, f2 = raycast_pallas_ladder(pos, heading, alive, species, cfg,
+                                       interpret=True, sort_worlds=True)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
