@@ -17,6 +17,7 @@ training_loop.py evidently intends (prev tensors = previous tick).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, NamedTuple, Sequence, Tuple
 
 import jax
@@ -232,21 +233,79 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
             m = cmaj(m_full)                                # [G, Asub]
             slot, valid_g, keep = compact_slots(m, rows)
 
-            cols = obs_field_cols(state, cfg, prev=False,
-                                  quirk_compat=quirk_compat, dtype=PD)
-            cols += obs_field_cols(state, cfg, prev=True,
-                                   quirk_compat=quirk_compat, dtype=PD)
-            cols += [state.hidden.reshape(W, A, H).astype(PD),
-                     state.prev_hidden.reshape(W, A, H).astype(PD),
-                     lm_full[..., None].astype(PD),
-                     jnp.argmax(state.action, axis=-1)[..., None].astype(PD)]
-            if compute_dtype is None:
-                cols.append(state.reward[..., None])
+            # MBOTS_PACK_KERNEL=1 swaps in the fused Pallas row
+            # gather (ops/row_gather.py). Bit-identical but measured ~5x
+            # SLOWER on v5e (57k tiny per-world MXU dots pay ~0.4us each
+            # vs ONE huge batched einsum) — kept as an A/B'd experiment,
+            # default OFF; see ops/row_gather.py docstring.
+            use_pack_kernel = (
+                compute_dtype == jnp.bfloat16
+                and os.environ.get("MBOTS_PACK_KERNEL", "0") == "1")
+            if use_pack_kernel:
+                # Fused Pallas row gather (ops/row_gather.py): sensor bytes
+                # stay u8/i8 in HBM and every field compacts in ONE kernel
+                # — the [W, A, ~170]-column bf16 payload concat + class
+                # transpose below cost ~5 ms/tick of pure data movement at
+                # 8192x128. Same bf16 values bit-for-bit (the kernel does
+                # the identical one-hot contraction in-VMEM;
+                # tests/test_row_gather.py + test_learn.py).
+                from madrona_bots_tpu.ops.row_gather import (
+                    compact_fields, kslot_from_class_slots)
+                if quirk_compat:
+                    # Q1: depth block = semantic bytes REINTERPRETED as u8
+                    # (-1 -> 255), exactly as obs_field_cols does.
+                    d_cur = state.sensor_semantic.astype(jnp.uint8)
+                    d_prev = state.prev_sensor_semantic.astype(jnp.uint8)
+                    hcol = lambda h: jax.lax.bitcast_convert_type(
+                        h[..., None].astype(jnp.int32), f32).astype(PD)
+                else:
+                    d_cur = state.sensor_depth
+                    d_prev = state.prev_sensor_depth
+                    hcol = lambda h: h[..., None].astype(PD)
+                scal = jnp.concatenate([
+                    hcol(state.health), state.pos.astype(PD),
+                    state.surrounding.astype(PD),
+                    hcol(state.prev_health), state.prev_pos.astype(PD),
+                    state.prev_surrounding.astype(PD),
+                    lm_full[..., None].astype(PD),
+                    jnp.argmax(state.action, axis=-1)[..., None].astype(PD),
+                    *(p[..., None] for p in split3(state.reward)),
+                ], axis=-1)                             # [W, A, 15]
+                kslot = kslot_from_class_slots(slot, valid_g, W, NS)
+                interp = jax.default_backend() != "tpu"
+                cd_, cs_, pd_, ps_, csc, chid, cphid = compact_fields(
+                    kslot,
+                    [d_cur, state.sensor_semantic, d_prev,
+                     state.prev_sensor_semantic, scal,
+                     state.hidden.reshape(W, A, H).astype(PD),
+                     state.prev_hidden.reshape(W, A, H).astype(PD)],
+                    interpret=interp)
+                # Reassemble the util.py:23-28 obs layout at [W, K] scale.
+                obs_c = jnp.concatenate(
+                    [cd_, csc[..., 0:3], cs_, csc[..., 3:5]], axis=-1)
+                obs_p = jnp.concatenate(
+                    [pd_, csc[..., 5:8], ps_, csc[..., 8:10]], axis=-1)
+                grec = jnp.concatenate(
+                    [obs_c, obs_p, chid, cphid, csc[..., 10:]], axis=-1)
+                grec4 = (grec.reshape(W, NS, rows, grec.shape[-1])
+                         .transpose(1, 0, 2, 3))
             else:
-                cols += [p[..., None] for p in split3(state.reward)]
-            grec = compact_gather(cmaj(jnp.concatenate(cols, axis=-1)),
-                                  slot, valid_g)
-            grec4 = grec.reshape(NS, W, rows, grec.shape[-1])
+                cols = obs_field_cols(state, cfg, prev=False,
+                                      quirk_compat=quirk_compat, dtype=PD)
+                cols += obs_field_cols(state, cfg, prev=True,
+                                       quirk_compat=quirk_compat, dtype=PD)
+                cols += [state.hidden.reshape(W, A, H).astype(PD),
+                         state.prev_hidden.reshape(W, A, H).astype(PD),
+                         lm_full[..., None].astype(PD),
+                         jnp.argmax(state.action,
+                                    axis=-1)[..., None].astype(PD)]
+                if compute_dtype is None:
+                    cols.append(state.reward[..., None])
+                else:
+                    cols += [p[..., None] for p in split3(state.reward)]
+                grec = compact_gather(cmaj(jnp.concatenate(cols, axis=-1)),
+                                      slot, valid_g)
+                grec4 = grec.reshape(NS, W, rows, grec.shape[-1])
             valid3 = valid_g.reshape(NS, W, rows)
             m_sums = m.reshape(NS, W, Asub).sum(axis=(1, 2))
             k_sums = keep.reshape(NS, W, Asub).sum(axis=(1, 2))

@@ -242,19 +242,43 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
                               == jnp.tile(spec, Asub)[None, :]))   # [G, Asub]
         slot, valid, keep = compact_slots(m, rows)
 
-        # Concatenate in the NATIVE [W, A, .] layout first, then ONE
-        # class-major transpose of the whole payload — per-column cm()
-        # transposes each pay the fixed wide-op cost (~10 ops/step).
-        cols = [obs.astype(PD),
-                mem_in.reshape(W, A, H).astype(PD),
-                action[..., None].astype(PD)]
-        if cd is None:
-            cols += [logp[..., None], value[..., None]]
+        # MBOTS_PACK_KERNEL=1: fused Pallas row gather — bit-identical
+        # but ~10x slower on v5e than the batched einsum (per-world dot
+        # overhead; see ops/row_gather.py). Default OFF.
+        if (cd == jnp.bfloat16
+                and os.environ.get("MBOTS_PACK_KERNEL", "0") == "1"):
+            # Fused Pallas row gather (ops/row_gather.py): skips the
+            # [W, A, C] payload concat + class transpose below (~2.5 ms of
+            # data movement per rollout step at 8192x128). Bit-identical
+            # output (tests/test_ppo.py pack-kernel parity).
+            from madrona_bots_tpu.ops.row_gather import (
+                compact_fields, kslot_from_class_slots)
+            scal = jnp.concatenate(
+                [action[..., None].astype(PD)]
+                + [p[..., None] for p in split3(logp)]
+                + [p[..., None] for p in split3(value)], axis=-1)
+            kslot = kslot_from_class_slots(slot, valid, W, NS)
+            co, cm_, cs = compact_fields(
+                kslot, [obs.astype(PD), mem_in.reshape(W, A, H).astype(PD),
+                        scal],
+                interpret=jax.default_backend() != "tpu")
+            rec = (jnp.concatenate([co, cm_, cs], axis=-1)
+                   .reshape(W, NS, rows, -1).transpose(1, 0, 2, 3)
+                   .reshape(G, rows, -1))                   # [G, rows, C]
         else:
-            cols += [p[..., None] for p in split3(logp)]
-            cols += [p[..., None] for p in split3(value)]
-        payload = cm(jnp.concatenate(cols, axis=-1))        # [G, Asub, C]
-        rec = compact_gather(payload, slot, valid)          # [G, rows, C]
+            # Concatenate in the NATIVE [W, A, .] layout first, then ONE
+            # class-major transpose of the whole payload — per-column cm()
+            # transposes each pay the fixed wide-op cost (~10 ops/step).
+            cols = [obs.astype(PD),
+                    mem_in.reshape(W, A, H).astype(PD),
+                    action[..., None].astype(PD)]
+            if cd is None:
+                cols += [logp[..., None], value[..., None]]
+            else:
+                cols += [p[..., None] for p in split3(logp)]
+                cols += [p[..., None] for p in split3(value)]
+            payload = cm(jnp.concatenate(cols, axis=-1))    # [G, Asub, C]
+            rec = compact_gather(payload, slot, valid)      # [G, rows, C]
 
         # Global source slot of row r: slot indexes within the class, and
         # class s = g // W occupies slots {i : i % NS == s} (SPEC D2b).

@@ -101,3 +101,77 @@ def test_a2c_learner_compaction_matches_full():
             == int((np.asarray(s0.action).sum(-1) > 0).sum()))
     for a, b in zip(jax.tree.leaves(t0), jax.tree.leaves(t1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_a2c_pack_kernel_matches_einsum_path():
+    """The fused Pallas row-gather pack path (MBOTS_PACK_KERNEL=1, bf16
+    compacting mode) must produce the BIT-IDENTICAL tick to the einsum
+    payload path: same new params, same written-back actions/memory, same
+    metrics."""
+    import os
+    from madrona_bots_tpu.config import EnvConfig
+    from madrona_bots_tpu.env.state import init_state
+    from madrona_bots_tpu.learn.a2c import init_train_states, make_train_tick
+    from madrona_bots_tpu.models import ActorCritic, SpeciesNetGenerator
+
+    cfg = EnvConfig(num_worlds=4, init_agents=16, max_agents=32)
+    gen = SpeciesNetGenerator(cfg.obs_dim, 6, 16, cfg.hidden_state_dim, seed=3)
+    models = [ActorCritic.from_generator(gen) for _ in range(4)]
+
+    outs = []
+    for knob in ("1", "0"):
+        os.environ["MBOTS_PACK_KERNEL"] = knob
+        try:
+            tick, opt = make_train_tick(models, cfg,
+                                        learner_slots_per_class=5,
+                                        compute_dtype=jnp.bfloat16)
+            ts = init_train_states(models, jax.random.key(1), opt)
+            state = init_state(jax.random.key(0), cfg)
+            for t in range(2):
+                state, ts, m = tick(state, ts,
+                                    jax.random.fold_in(jax.random.key(2), t))
+            outs.append((state, ts, m))
+        finally:
+            os.environ.pop("MBOTS_PACK_KERNEL", None)
+
+    (s0, t0, m0), (s1, t1, m1) = outs
+    for a, b in zip(jax.tree.leaves(t0), jax.tree.leaves(t1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(s0.action), np.asarray(s1.action))
+    np.testing.assert_array_equal(np.asarray(s0.hidden), np.asarray(s1.hidden))
+    for k in m0:
+        np.testing.assert_array_equal(np.asarray(m0[k]), np.asarray(m1[k]), k)
+
+
+def test_a2c_pack_kernel_quirk_compat_matches():
+    """Same bit-identity with quirk_compat observations (Q1 semantic-byte
+    depth block, Q2 bit-reinterpreted health)."""
+    import os
+    from madrona_bots_tpu.config import EnvConfig
+    from madrona_bots_tpu.env.state import init_state
+    from madrona_bots_tpu.learn.a2c import init_train_states, make_train_tick
+    from madrona_bots_tpu.models import ActorCritic, SpeciesNetGenerator
+
+    cfg = EnvConfig(num_worlds=2, init_agents=16, max_agents=32)
+    gen = SpeciesNetGenerator(cfg.obs_dim, 6, 16, cfg.hidden_state_dim, seed=5)
+    models = [ActorCritic.from_generator(gen) for _ in range(4)]
+
+    outs = []
+    for knob in ("1", "0"):
+        os.environ["MBOTS_PACK_KERNEL"] = knob
+        try:
+            tick, opt = make_train_tick(models, cfg,
+                                        learner_slots_per_class=5,
+                                        quirk_compat=True,
+                                        compute_dtype=jnp.bfloat16)
+            ts = init_train_states(models, jax.random.key(1), opt)
+            state = init_state(jax.random.key(0), cfg)
+            state, ts, m = tick(state, ts, jax.random.key(2))
+            outs.append((state, ts, m))
+        finally:
+            os.environ.pop("MBOTS_PACK_KERNEL", None)
+
+    (s0, t0, m0), (s1, t1, m1) = outs
+    for a, b in zip(jax.tree.leaves(t0), jax.tree.leaves(t1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(s0.hidden), np.asarray(s1.hidden))

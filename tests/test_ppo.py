@@ -123,3 +123,38 @@ def test_ppo_compaction_never_changes_trajectories():
         if jnp.issubdtype(a.dtype, jax.dtypes.prng_key):
             a, b = jax.random.key_data(a), jax.random.key_data(b)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ppo_pack_kernel_matches_einsum_path():
+    """The fused Pallas row-gather record pack (MBOTS_PACK_KERNEL=1, bf16
+    mode) must produce a BIT-IDENTICAL PPO iteration to the einsum payload
+    path: same params, same state, same metrics."""
+    import os
+    cfg = EnvConfig(num_worlds=2, init_agents=16, max_agents=32)
+    gen = SpeciesNetGenerator(cfg.obs_dim, 6, 16, cfg.hidden_state_dim, seed=7)
+    models = [ActorCritic.from_generator(gen) for _ in range(4)]
+
+    outs = []
+    for knob in ("1", "0"):
+        os.environ["MBOTS_PACK_KERNEL"] = knob
+        try:
+            it, opt = make_ppo_trainer(models, cfg, rollout_len=3,
+                                       num_minibatches=2, update_epochs=1,
+                                       compute_dtype=jnp.bfloat16,
+                                       learner_slots_per_class=5)
+            ts = init_train_states(models, jax.random.key(1), opt)
+            state = init_state(jax.random.key(0), cfg)
+            for t in range(2):
+                state, ts, m = it(state, ts,
+                                  jax.random.fold_in(jax.random.key(2), t))
+            outs.append((state, ts, m))
+        finally:
+            os.environ.pop("MBOTS_PACK_KERNEL", None)
+
+    (s0, t0, m0), (s1, t1, m1) = outs
+    for a, b in zip(jax.tree.leaves(t0), jax.tree.leaves(t1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(s0.pos), np.asarray(s1.pos))
+    np.testing.assert_array_equal(np.asarray(s0.hidden), np.asarray(s1.hidden))
+    for k in m0:
+        np.testing.assert_array_equal(np.asarray(m0[k]), np.asarray(m1[k]), k)
