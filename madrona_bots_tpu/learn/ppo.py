@@ -523,6 +523,31 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
 
             D_obs = cfg.obs_dim
 
+            def _head(logits, v, a, lp_old, adv_n, ret, vold, w):
+                """Clipped-surrogate pieces from the net outputs. Kept as a
+                remat unit: its [mb, 6] intermediates (log-softmax, one-hot
+                product, softmax, entropy terms) each pad 6 -> 128 lanes
+                when saved for the backward (~200 MB apiece at mb~400k);
+                recomputing them costs a few elementwise ops."""
+                lsm_new = jax.nn.log_softmax(logits, -1)
+                logp_new = jnp.sum(
+                    lsm_new * jax.nn.one_hot(a, lsm_new.shape[-1],
+                                             dtype=lsm_new.dtype), axis=1)
+                ratio = jnp.exp(logp_new - lp_old)
+                pg = -jnp.minimum(
+                    ratio * adv_n,
+                    jnp.clip(ratio, 1 - clip_eps, 1 + clip_eps) * adv_n)
+                v_clip = vold + jnp.clip(v - vold, -clip_eps, clip_eps)
+                v_loss = 0.5 * jnp.maximum((v - ret) ** 2,
+                                           (v_clip - ret) ** 2)
+                probs = jax.nn.softmax(logits, -1)
+                ent = -jnp.sum(probs * jnp.log(jnp.clip(probs, 1e-12)), -1)
+                return (jnp.sum(pg * w), jnp.sum(v_loss * w),
+                        jnp.sum(ent * w))
+
+            if os.environ.get("MBOTS_PPO_HEAD_REMAT", "1") == "1":
+                _head = jax.checkpoint(_head)
+
             def loss_fn(params, picked):
                 om, a, lp_old, adv, ret, vold, msk = picked
                 o, m = om[:, :D_obs], om[:, D_obs:]
@@ -534,23 +559,10 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
                 adv_n = (adv - mu) * jax.lax.rsqrt(var + 1e-8)
 
                 logits, v, _ = _fwd_remat(s, params, o, m)
-                lsm_new = jax.nn.log_softmax(logits, -1)
-                logp_new = jnp.sum(
-                    lsm_new * jax.nn.one_hot(a, lsm_new.shape[-1],
-                                             dtype=lsm_new.dtype), axis=1)
-                ratio = jnp.exp(logp_new - lp_old)
-                pg = -jnp.minimum(
-                    ratio * adv_n,
-                    jnp.clip(ratio, 1 - clip_eps, 1 + clip_eps) * adv_n)
-                v_clip = vold + jnp.clip(v - vold, -clip_eps, clip_eps)
-                v_loss = 0.5 * jnp.maximum((v - ret) ** 2, (v_clip - ret) ** 2)
-                probs = jax.nn.softmax(logits, -1)
-                ent = -jnp.sum(probs * jnp.log(jnp.clip(probs, 1e-12)), -1)
-                loss = (jnp.sum(pg * w) + vf_coef * jnp.sum(v_loss * w)
-                        - ent_coef * jnp.sum(ent * w)) / denom
-                return loss, (jnp.sum(pg * w) / denom,
-                              jnp.sum(v_loss * w) / denom,
-                              jnp.sum(ent * w) / denom)
+                pg_s, vl_s, ent_s = _head(logits, v, a, lp_old, adv_n,
+                                          ret, vold, w)
+                loss = (pg_s + vf_coef * vl_s - ent_coef * ent_s) / denom
+                return loss, (pg_s / denom, vl_s / denom, ent_s / denom)
 
             def epoch_body(ts, e):
                 def mb_body(ts, i):

@@ -127,8 +127,20 @@ class ActorCritic:
         """obs [B, obs_dim] f32, memory [B, memory_dim] f32 ->
         (logits [B, act], value [B], new_memory [B, memory_dim])."""
         feat = _apply_mlp(params["feature"], self.config["layers"], obs)
-        h = _apply_recurrent(params["recurrent"], self.config["recurrent"],
-                             feat, memory)
+        # Rematerialize the cell in the backward: its intermediates are
+        # [B, memory_dim(=16)] / [B, 3*16] tensors whose minor dim pads to
+        # the 128-lane tile when stored for grad — 8x/2.7x HBM inflation
+        # per saved tensor at B~400k, for a recompute of two tiny matmuls.
+        # (Full-forward remat is a separate, measured-per-algorithm knob:
+        # MBOTS_A2C_REMAT / MBOTS_PPO_REMAT.)
+        import os
+        rc = self.config["recurrent"]
+        if os.environ.get("MBOTS_REMAT_CELL", "1") == "1":
+            cell = jax.checkpoint(
+                lambda p, x, h: _apply_recurrent(p, rc, x, h))
+            h = cell(params["recurrent"], feat, memory)
+        else:
+            h = _apply_recurrent(params["recurrent"], rc, feat, memory)
         logits = _apply_mlp(params["actor"], self.config["actor"], h)
         value = _apply_mlp(params["critic"], self.config["critic"], h)[..., 0]
         return logits, value, h

@@ -210,18 +210,35 @@ def _mk_tile_fns(cfg: EnvConfig, S: int, A: int):
     """Shared per-tile fold/epilogue builders for the packed kernels.
 
     Returns (make_visit, finalize, carry0); identical float arithmetic to
-    the v2 kernel so every packing mode stays bit-exact vs env/raycast.py."""
+    the v2 kernel so every packing mode stays bit-exact vs env/raycast.py.
+
+    The crosshair (finder) ray rides the fan as 8 extra sublane rows
+    (row S live, rows S+1..S+7 pad duplicates): its per-visit chain used to
+    be 12 separate [1, A] ops — half the visit's op COUNT for ~20% of its
+    vector work, the wrong trade on an op-overhead-bound kernel. Folded,
+    each visit is one [S+8, A] chain. Bit-exact: the finder rows use the
+    cos_h/sin_h values verbatim (concatenated per tile, not recomputed),
+    the compare/select forms are identical, and the pad rows are never
+    read. Requires S % 8 == 0 (sublane-aligned row slices)."""
+    assert S % 8 == 0, "folded finder row needs sublane-aligned S"
+    R = S + 8
     r2 = jnp.float32(cfg.agent_radius * cfg.agent_radius)
     near = jnp.float32(cfg.near)
     limx = jnp.float32(cfg.world_lim_x)
     limy = jnp.float32(cfg.world_lim_y)
     scale = jnp.float32(255.0 / cfg.max_range)
     safe = lambda d: jnp.where(d == 0, 1.0, d)
+    rowf = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) >= S   # finder rows
 
     def make_visit(px, py, cos_a, sin_a, cos_h, sin_h, srcslot):
         """One target fold; rows are [1, A] per-lane target broadcasts."""
+        ca8 = jnp.concatenate(
+            [cos_a, jnp.broadcast_to(cos_h, (8, cos_h.shape[1]))], axis=0)
+        sa8 = jnp.concatenate(
+            [sin_a, jnp.broadcast_to(sin_h, (8, sin_h.shape[1]))], axis=0)
+
         def visit(carry, tx, ty, tslot, tsp, valid):
-            t_min, sem_min, f_min, f_arg = carry
+            t_min, val_min = carry
             ocx = tx - px
             ocy = ty - py
             oc2 = ocx * ocx + ocy * ocy
@@ -232,24 +249,22 @@ def _mk_tile_fns(cfg: EnvConfig, S: int, A: int):
             # sqrt NaN => both compares false; winners write the identical
             # f32 value, so the carry evolution is bit-exact vs the
             # select-to-INF form at 4 fewer wide ops per visit.
-            t_c = cos_a * ocx + sin_a * ocy                      # [S, A]
+            t_c = ca8 * ocx + sa8 * ocy                          # [R, A]
             disc = t_c * t_c + q
             t_hit = t_c - jnp.sqrt(disc)                         # NaN on miss
             closer = (t_hit > near) & (t_hit < t_min)
             t_min = jnp.where(closer, t_hit, t_min)
-            sem_min = jnp.where(closer, tsp, sem_min)
-
-            ft_c = cos_h * ocx + sin_h * ocy                     # [1, A]
-            fdisc = ft_c * ft_c + q
-            ft = ft_c - jnp.sqrt(fdisc)                          # NaN on miss
-            fcloser = (ft > near) & (ft < f_min)
-            f_min = jnp.where(fcloser, ft, f_min)
-            f_arg = jnp.where(fcloser, tslot, f_arg)
-            return t_min, sem_min, f_min, f_arg
+            # Fan rows carry the winner's species; finder rows its slot.
+            val_min = jnp.where(closer, jnp.where(rowf, tslot, tsp), val_min)
+            return t_min, val_min
         return visit
 
-    def finalize(px, py, cos_a, sin_a, t_agent, sem_agent, f_t, f_arg):
+    def finalize(px, py, cos_a, sin_a, tv, val):
         """Wall pass + encoding — identical arithmetic to the v2 epilogue."""
+        t_agent = tv[:S]
+        sem_agent = val[:S]
+        f_t = tv[S:S + 1]
+        f_arg = val[S:S + 1]
         tx_w = jnp.minimum(
             jnp.where(cos_a > 0, (limx - px) / safe(cos_a), _INF),
             jnp.where(cos_a < 0, -px / safe(cos_a), _INF))
@@ -269,10 +284,8 @@ def _mk_tile_fns(cfg: EnvConfig, S: int, A: int):
         return depth, semantic, finder
 
     def carry0():
-        return (jnp.full((S, A), _INF, jnp.float32),
-                jnp.zeros((S, A), jnp.int32),
-                jnp.full((1, A), _INF, jnp.float32),
-                jnp.full((1, A), -1, jnp.int32))
+        return (jnp.full((R, A), _INF, jnp.float32),
+                jnp.where(rowf, -1, jnp.zeros((R, A), jnp.int32)))
 
     return make_visit, finalize, carry0
 
@@ -343,10 +356,9 @@ def _kernel_packed(offs_ref, px_ref, py_ref, hd_ref, alive_ref,
 
             nmax = jnp.maximum(jnp.maximum(n[0], n[1]),
                                jnp.maximum(n[2], n[3]))
-            t_a, sem_a, f_t, f_arg = jax.lax.fori_loop(
+            tv, vl = jax.lax.fori_loop(
                 0, (nmax + unroll - 1) // unroll, body, carry0())
-            depth, semantic, finder = finalize(px, py, cos_a, sin_a,
-                                               t_a, sem_a, f_t, f_arg)
+            depth, semantic, finder = finalize(px, py, cos_a, sin_a, tv, vl)
             # World k's compacted rows live in lanes [k*quarter, (k+1)*quarter)
             # — roll them down to [:quarter] (the expansion einsum reads only
             # lanes < pop <= quarter, so the fill value is don't-care).
@@ -393,10 +405,9 @@ def _kernel_packed(offs_ref, px_ref, py_ref, hd_ref, alive_ref,
                 return carry
 
             nmax = jnp.maximum(n0, n1)
-            t_a, sem_a, f_t, f_arg = jax.lax.fori_loop(
+            tv, vl = jax.lax.fori_loop(
                 0, (nmax + unroll - 1) // unroll, body, carry0())
-            depth, semantic, finder = finalize(px, py, cos_a, sin_a,
-                                               t_a, sem_a, f_t, f_arg)
+            depth, semantic, finder = finalize(px, py, cos_a, sin_a, tv, vl)
             # Split the packed tile back into per-world compacted-lane rows:
             # world0 owns lanes [:half], world1 lanes [half:] (rolled down).
             for w, tile_sel in ((w0, lambda x: x),
@@ -438,10 +449,9 @@ def _kernel_packed(offs_ref, px_ref, py_ref, hd_ref, alive_ref,
                         carry = one(unroll * i + j, carry)
                     return carry
 
-                t_a, sem_a, f_t, f_arg = jax.lax.fori_loop(
-                    0, A // unroll, body, carry0())
+                tv, vl = jax.lax.fori_loop(0, A // unroll, body, carry0())
                 depth, semantic, finder = finalize(px, py, cos_a, sin_a,
-                                                   t_a, sem_a, f_t, f_arg)
+                                                   tv, vl)
                 depth_ref[w] = jnp.where(src_alive, depth, 0).astype(jnp.uint8)
                 semantic_ref[w] = jnp.where(src_alive, semantic,
                                             -1).astype(jnp.int8)
@@ -712,9 +722,9 @@ def _kernel_ladder(offs_ref, px_ref, py_ref, hd_ref, alive_ref,
                 carry = visit(carry, *target_of(b))
             return carry
 
-        t_a, sem_a, f_t, f_arg = jax.lax.fori_loop(
+        tv, vl = jax.lax.fori_loop(
             0, (nmax + unroll - 1) // unroll, body, carry0())
-        return finalize(px, py, cos_a, sin_a, t_a, sem_a, f_t, f_arg)
+        return finalize(px, py, cos_a, sin_a, tv, vl)
 
     def emit_quad(g, j):
         qi = 3 * g + j

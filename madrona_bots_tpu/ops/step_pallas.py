@@ -97,14 +97,26 @@ def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
     lane = jax.lax.broadcasted_iota(i32, (wb, A), 1)
     cls = lane % NS                                       # slot class (D2b)
 
-    # ---- finder gather: pay[w, finder[w, a]] with packed payload ----
-    pay = alive0 + 8 * species                            # 0..33
-    g = jnp.zeros((wb, A), i32)
+    # ---- finder target-alive gather via a bit-packed alive mask ----
+    # ts needs no gather at all: species-class slots (SPEC D2b) make the
+    # target's species (finder % NS) + 1 whenever it is alive, and death
+    # zeroes the species field — so ts = ta * (cls(finder) + 1) matches the
+    # old pay-table slot sweep bit-for-bit at ~1/10 the ops. ta comes from
+    # a 32-bit-packed alive mask: word k holds lanes [32k, 32k+32), and a
+    # per-lane variable shift extracts the target's bit.
     if "finder" not in ablate:
-        for t in range(A):
-            g = jnp.where(finder == t, _col(pay, t), g)
-    ta = g & 7                                            # target alive 0/1
-    ts = g >> 3                                           # target species
+        enc_alive = jnp.left_shift(alive0, lane & 31)
+        wordi = jnp.right_shift(lane, 5)
+        fword = jnp.right_shift(finder, 5)            # -1 -> -1: no match
+        gw = jnp.zeros((wb, A), i32)
+        for k in range((A + 31) // 32):
+            bits_k = jnp.sum(jnp.where(wordi == k, enc_alive, 0),
+                             axis=1, keepdims=True)   # [wb, 1]
+            gw = jnp.where(fword == k, bits_k, gw)
+        ta = jnp.right_shift(gw, finder & 31) & 1     # target alive 0/1
+    else:
+        ta = jnp.zeros((wb, A), i32)
+    ts = ta * (jnp.maximum(finder, 0) % NS + 1)       # target species
 
     # Quirk D1 (stale finder handle): drop the target-alive requirement.
     valid_shot = shot_pre if cfg.quirk_d1_stale_finder else shot_pre * ta
@@ -156,19 +168,24 @@ def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
         cell_p = gath[p] >> 1
         contend = ((alive0 > 0) & (has_p > 0) & (eaten == 0)
                    & (cell == cell_p))
+        # lo/hi chunk words ride ONE [2*wb, A] prefix pass (stacked on the
+        # sublane axis): halves the op count of the dominant prefix-OR
+        # chain — bit-identical, the rows are independent.
         enc_lo = jnp.where(contend, bit_lo, 0)
         enc_hi = jnp.where(contend, bit_hi, 0)
-        pre_lo = _lane_prefix_or_excl(enc_lo, A)
-        pre_hi = _lane_prefix_or_excl(enc_hi, A)
+        pre2 = _lane_prefix_or_excl(
+            jnp.concatenate([enc_lo, enc_hi], axis=0), A)
+        pre_lo = pre2[:wb]
+        pre_hi = pre2[wb:]
         taken_before = jnp.where(
             in_lo, jnp.right_shift(pre_lo, sh_lo),
             jnp.right_shift(pre_hi, sh_hi)) & 1
         is_winner = contend & (taken_before == 0)
         eaten = eaten | is_winner.astype(i32)
-        consumed.append(jnp.concatenate([
-            jnp.sum(jnp.where(is_winner, enc_lo, 0), axis=1, keepdims=True),
-            jnp.sum(jnp.where(is_winner, enc_hi, 0), axis=1, keepdims=True),
-        ], axis=1))
+        win2 = jnp.concatenate([jnp.where(is_winner, enc_lo, 0),
+                                jnp.where(is_winner, enc_hi, 0)], axis=0)
+        csum = jnp.sum(win2, axis=1, keepdims=True)       # [2*wb, 1]
+        consumed.append(jnp.concatenate([csum[:wb], csum[wb:]], axis=1))
     if "eat" in ablate:
         consumed = [jnp.zeros((wb, 2), i32) for _ in range(P)]
     consumed_ref[...] = jnp.stack(consumed, axis=1)       # [wb, P, 2]
@@ -209,18 +226,24 @@ def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
     granted = (breeder > 0) & (want_rank < num_free)
 
     # Match r-th granted breeder of class c -> r-th free slot of class c.
+    # `born` needs no matching loop: granted breeders of a class hold the
+    # CONSECUTIVE want-ranks 0..grant_cnt-1 (granted = breeder rank <
+    # num_free), so the r-th free slot is claimed iff r < grant_cnt.
+    grant_cnt_cs = _lane_cumsum(granted.astype(i32) << (8 * cls), A)
+    grant_cnt = (_col(grant_cnt_cs, A - 1) >> (8 * cls)) & 255
+    born = ((free > 0) & (free_rank < grant_cnt)).astype(i32)
     keyq_parent = jnp.where(granted, cls + NS * want_rank, -1)
-    keyq_slot = jnp.where(free > 0, cls + NS * free_rank, -2)
+    keyq_slot = jnp.where(born > 0, cls + NS * free_rank, -2)
     posx = posx_ref[...]
     posy = posy_ref[...]
-    born = jnp.zeros((wb, A), i32)
     bposx = jnp.zeros((wb, A), f32)
     bposy = jnp.zeros((wb, A), f32)
     for a in range(A) if "birth" not in ablate else ():
         m = keyq_slot == _col(keyq_parent, a)
-        born = jnp.where(m, 1, born)
         bposx = jnp.where(m, _col(posx, a), bposx)
         bposy = jnp.where(m, _col(posy, a), bposy)
+    if "birth" in ablate:
+        born = jnp.zeros((wb, A), i32)
     born_ref[...] = born
     bposx_ref[...] = bposx
     bposy_ref[...] = bposy
@@ -308,7 +331,7 @@ def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
                                   "ablate"))
 def systems_pallas(flags, species, finder, health, posx, posy, speedq, cidx,
                    cell, food_packed, drawx, drawy,
-                   cfg: EnvConfig, worlds_per_block: int = 32,
+                   cfg: EnvConfig, worlds_per_block: int = 128,
                    interpret: bool = False,
                    ablate: frozenset = frozenset()):
     """Run the fused systems kernel; see _kernel for per-ref semantics.
@@ -346,6 +369,12 @@ def systems_pallas(flags, species, finder, health, posx, posy, speedq, cidx,
                  jax.ShapeDtypeStruct((W, P, 2), i32))
     out_specs = tuple([sA] * 13 + [sNS, sNS, sP2])
 
+    # The default scoped-VMEM budget (16 MB) caps wb at 32; v5e has 128 MB
+    # of physical VMEM, and raising the per-kernel limit lets bigger world
+    # blocks amortize the kernel's fixed per-op overhead (the unrolled
+    # gather/match loops are op-count-bound, not vreg-bound).
+    params = (None if interpret else
+              pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024))
     return pl.pallas_call(
         partial(_kernel, cfg=cfg, ablate=ablate),
         grid=(W // wb,),
@@ -353,6 +382,7 @@ def systems_pallas(flags, species, finder, health, posx, posy, speedq, cidx,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=params,
     )(flags, species, finder, health, posx, posy, speedq, cidx, cell,
       food_packed, drawx, drawy)
 
