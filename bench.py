@@ -111,10 +111,19 @@ def bench_train(num_worlds=8192, max_agents=128, iters=2, warmup=1,
     # one-hot gather feeds only ~alive rows to the 4 nets — the same
     # alive-only batch the reference's species sort produces.
     slots = int(os.environ.get("BENCH_A2C_SLOTS", "12")) or None
+    # Species-stacked batched update (BENCH_STACKED=0 opts out): one set of
+    # batched-matmul ops covers all 4 species (models/stacked.py).
+    stacked = (slots is not None
+               and os.environ.get("BENCH_STACKED", "1") == "1")
     tick, opt = make_train_tick(models, cfg, use_pallas=use_pallas,
                                 compute_dtype=compute_dtype,
-                                learner_slots_per_class=slots)
-    tstates = init_train_states(models, jax.random.key(1), opt)
+                                learner_slots_per_class=slots,
+                                stacked=stacked)
+    if stacked:
+        from madrona_bots_tpu.learn.a2c import init_stacked_train_state
+        tstates = init_stacked_train_state(models, jax.random.key(1), opt)
+    else:
+        tstates = init_train_states(models, jax.random.key(1), opt)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def block(state, tstates, key):

@@ -140,11 +140,26 @@ def _species_update(model: ActorCritic, optimizer, ts: SpeciesTrainState,
     return SpeciesTrainState(new_params, new_opt), actions, new_mem, metrics
 
 
+def init_stacked_train_state(models: Sequence[ActorCritic], key: jax.Array,
+                             optimizer) -> SpeciesTrainState:
+    """ONE SpeciesTrainState whose params/opt_state carry a leading [NS]
+    species axis (models/stacked.py layout). Params are the same values
+    init_train_states produces, stacked; Adam is elementwise, so the
+    stacked optimizer trajectory equals the per-species one."""
+    from madrona_bots_tpu.models.stacked import StackedActorCritic
+    sac = StackedActorCritic(models)
+    params = [m.init(jax.random.fold_in(key, i))
+              for i, m in enumerate(models)]
+    sp = sac.stack_params(params)
+    return SpeciesTrainState(sp, optimizer.init(sp))
+
+
 def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
                     lr: float = 3e-4, gamma: float = 1.0,
                     proper_log_probs: bool = False,
                     quirk_compat: bool = False, use_pallas: bool = False,
-                    compute_dtype=None, learner_slots_per_class=None):
+                    compute_dtype=None, learner_slots_per_class=None,
+                    stacked: bool = False):
     """Build the fused jitted train tick.
 
     Returns (tick, optimizer) where
@@ -158,11 +173,23 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
     beyond L in a crowded world are dropped for that tick (null action,
     zero memory; counted in species_*_dropped_rows — zero at typical
     populations). None = train on all padded slots.
+
+    stacked=True runs the NS species updates as ONE batched update over a
+    species-stacked param tree (models/stacked.py): every matmul/optimizer
+    op covers all species at once — ~NS x fewer XLA ops per tick at
+    identical per-species math (forwards equal to a few float ulps; Adam is
+    elementwise so the optimizer is exact given equal grads). Requires
+    learner_slots_per_class; `train_states` must be the single
+    init_stacked_train_state(...) state instead of the per-species tuple.
     """
     optimizer = make_optimizer(lr)
     num_species = cfg.num_species
     assert len(models) == num_species
     Lcap = learner_slots_per_class
+    if stacked:
+        from madrona_bots_tpu.models.stacked import StackedActorCritic
+        sac = StackedActorCritic(models)
+        assert Lcap is not None, "stacked tick requires learner-slot compaction"
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def tick(state: WorldState, train_states, key):
@@ -310,6 +337,130 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
             m_sums = m.reshape(NS, W, Asub).sum(axis=(1, 2))
             k_sums = keep.reshape(NS, W, Asub).sum(axis=(1, 2))
             c0 = 2 * D + 2 * H                              # scalar cols
+
+        if stacked:
+            # ---- ONE batched update over the species-stacked params ----
+            # (models/stacked.py). grec4 is already class-outermost
+            # [NS, W, rows, C]; every op below covers all species at once.
+            B = W * rows
+            g = grec4.reshape(NS, B, grec4.shape[-1])
+            obs_cur_s = g[..., 0:D]
+            obs_prev_s = g[..., D:2 * D]
+            mem_s = g[..., 2 * D:2 * D + H]
+            mem_prev_s = g[..., 2 * D + H:c0]
+            vmask = valid3.reshape(NS, B).astype(f32)
+            loss_mask_s = g[..., c0].astype(f32) * vmask
+            if compute_dtype is None:
+                rew = g[..., c0 + 2]
+            else:
+                rew = sum(g[..., c0 + 2 + i].astype(f32) for i in range(3))
+            prev_act = g[..., c0 + 1].astype(jnp.int32)
+            ts = train_states            # single stacked SpeciesTrainState
+
+            def _maybe_cast(tree):
+                if compute_dtype is None:
+                    return tree
+                return jax.tree.map(lambda x: x.astype(compute_dtype), tree)
+
+            def _fwd(params, obs, mem):
+                lo, v, h = sac.forward(
+                    _maybe_cast(params), obs,
+                    mem if compute_dtype is None
+                    else mem.astype(compute_dtype))
+                return lo.astype(f32), v.astype(f32), h.astype(f32)
+
+            logits, v_new, new_mem = _fwd(ts.params, obs_cur_s, mem_s)
+            # Identical per-species sampling streams: species s draws with
+            # fold_in(key, s), as the per-species loop does.
+            keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+                jnp.arange(NS))
+            actions = jax.vmap(jax.random.categorical)(keys, logits)
+
+            _fwd_remat = (jax.checkpoint(_fwd)
+                          if os.environ.get("MBOTS_A2C_REMAT", "1") == "1"
+                          else _fwd)
+
+            def loss_fn(params):
+                logits_p, v_prev, _ = _fwd_remat(params, obs_prev_s,
+                                                 mem_prev_s)
+                if proper_log_probs:
+                    logp_all = jax.nn.log_softmax(logits_p, axis=-1)
+                else:
+                    logp_all = logits_p    # reference raw-logit quirk
+                logp = jnp.sum(
+                    logp_all * jax.nn.one_hot(prev_act, logp_all.shape[-1],
+                                              dtype=logp_all.dtype), axis=-1)
+                # compute_loss (models/actor_critic.py), batched over the
+                # species axis with per-species sums.
+                adv = (rew + gamma * jax.lax.stop_gradient(v_new)
+                       - jax.lax.stop_gradient(v_prev))
+                actor_s = -jnp.sum(logp * adv * loss_mask_s, axis=1)
+                diff = rew - v_prev
+                huber = jnp.where(jnp.abs(diff) < 1.0, 0.5 * diff * diff,
+                                  jnp.abs(diff) - 0.5)
+                denom = jnp.maximum(jnp.sum(loss_mask_s, axis=1), 1.0)
+                critic_s = jnp.sum(huber * loss_mask_s, axis=1) / denom
+                return jnp.sum(actor_s + critic_s), (actor_s, critic_s)
+
+            (_, (actor_s, critic_s)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(ts.params)
+            updates, new_opt = optimizer.update(grads, ts.opt_state,
+                                                ts.params)
+            new_tstate = SpeciesTrainState(
+                optax.apply_updates(ts.params, updates), new_opt)
+
+            # Per-species metric series (same names/values as the loop).
+            denom_v = jnp.maximum(vmask.sum(axis=1), 1.0)
+            logp_soft = jax.nn.log_softmax(logits, axis=-1)
+            oh_act = jax.nn.one_hot(actions, NUM_ACTIONS,
+                                    dtype=logp_soft.dtype)
+            logp_taken = jnp.sum(logp_soft * oh_act, axis=-1)
+            probs = jax.nn.softmax(logits, axis=-1)
+            entropy = -jnp.sum(probs * jnp.log(jnp.clip(probs, 1e-12)),
+                               axis=-1)
+            msp = m.reshape(NS, W, Asub).astype(f32)
+            count_s = m_sums.astype(f32)
+            denom_c = jnp.maximum(count_s, 1.0)
+            rew_full = jnp.einsum("was,swa->s", rewards3, msp)
+            health3 = state.health.reshape(W, Asub, NS).astype(f32)
+            avg_health = jnp.einsum("was,swa->s", health3, msp) / denom_c
+            hist = jnp.einsum("sbk,sb->sk", oh_act.astype(f32), vmask)
+            per_species = {
+                "actor_loss": actor_s,
+                "critic_loss": critic_s,
+                "total_loss": actor_s + critic_s,
+                "count": count_s,
+                "reward": rew_full,
+                "avg_action_prob": jnp.exp(
+                    jnp.sum(logp_taken * vmask, axis=1) / denom_v),
+                "avg_action_entropy": jnp.sum(entropy * vmask,
+                                              axis=1) / denom_v,
+                "dropped_rows": m_sums - k_sums,
+                "avg_health": avg_health,
+                "count_per_world": count_s / W,
+                "popular_action": jnp.argmax(hist, axis=1).astype(f32),
+            }
+            metrics = {f"species_{s + 1}_{k}": v[s]
+                       for k, v in per_species.items()
+                       for s in range(num_species)}
+
+            # Batched write-back (same expansion as the loop path).
+            sdt = bf16 if compute_dtype == jnp.bfloat16 else f32
+            src = jnp.concatenate(
+                [jax.nn.one_hot(actions, NUM_ACTIONS, dtype=f32)
+                 * vmask[..., None],
+                 new_mem * vmask[..., None]], axis=-1).reshape(
+                     G, rows, NUM_ACTIONS + H).astype(sdt)
+            out = expand_scatter(src, slot, valid_g, Asub)
+            out4 = out.reshape(NS, W, Asub, NUM_ACTIONS + H).transpose(
+                (1, 2, 0, 3))
+            state = env_mod.shift_observations_impl(state, cfg)
+            state = state.replace(
+                action=out4[..., :NUM_ACTIONS].astype(jnp.int32).reshape(
+                    W, A, NUM_ACTIONS),
+                hidden=out4[..., NUM_ACTIONS:].reshape(
+                    state.hidden.shape).astype(state.hidden.dtype))
+            return state, new_tstate, metrics
 
         action_cols, hidden_cols = [], []
         mem_rows, onehot_rows = [], []
