@@ -197,24 +197,41 @@ def bench_ppo(num_worlds=8192, max_agents=128, iters=2, warmup=1,
 
 
 def main():
-    mode = os.environ.get("BENCH_MODE", "env")
+    # Default mode "all" measures env + train (stacked A2C) + ppo in ONE run
+    # so every round's BENCH_r0N.json records the full perf story. Each mode
+    # prints its own JSON line; the FINAL line is the driver-parsed headline
+    # (env metric) and carries the train/ppo numbers as extra keys.
+    mode = os.environ.get("BENCH_MODE", "all")
     num_worlds = int(os.environ.get("BENCH_WORLDS", "8192"))
-    if mode == "train":
-        value = bench_train(num_worlds=num_worlds)
-        metric = f"train_env_steps_per_sec_{num_worlds}w"
-    elif mode == "ppo":
-        value = bench_ppo(num_worlds=num_worlds)
-        metric = f"ppo_env_steps_per_sec_{num_worlds}w"
-    else:
-        value = bench_env(num_worlds=num_worlds)
-        metric = f"env_steps_per_sec_{num_worlds}w"
     north_star = 1e7  # BASELINE.json: >=10M env-steps/s aggregate (pod slice)
-    print(json.dumps({
-        "metric": metric,
-        "value": round(value, 1),
-        "unit": "env-steps/s",
-        "vs_baseline": round(value / north_star, 4),
-    }))
+
+    def line(metric, value, **extra):
+        print(json.dumps({
+            "metric": metric,
+            "value": round(value, 1),
+            "unit": "env-steps/s",
+            "vs_baseline": round(value / north_star, 4),
+            **extra,
+        }), flush=True)
+
+    if mode == "train":
+        line(f"train_env_steps_per_sec_{num_worlds}w",
+             bench_train(num_worlds=num_worlds))
+    elif mode == "ppo":
+        line(f"ppo_env_steps_per_sec_{num_worlds}w",
+             bench_ppo(num_worlds=num_worlds))
+    elif mode == "env":
+        line(f"env_steps_per_sec_{num_worlds}w",
+             bench_env(num_worlds=num_worlds))
+    else:  # all
+        train_v = bench_train(num_worlds=num_worlds)
+        line(f"train_env_steps_per_sec_{num_worlds}w", train_v)
+        ppo_v = bench_ppo(num_worlds=num_worlds)
+        line(f"ppo_env_steps_per_sec_{num_worlds}w", ppo_v)
+        env_v = bench_env(num_worlds=num_worlds)
+        line(f"env_steps_per_sec_{num_worlds}w", env_v,
+             train_env_steps_per_sec=round(train_v, 1),
+             ppo_env_steps_per_sec=round(ppo_v, 1))
 
 
 if __name__ == "__main__":

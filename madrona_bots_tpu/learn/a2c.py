@@ -189,7 +189,12 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
     if stacked:
         from madrona_bots_tpu.models.stacked import StackedActorCritic
         sac = StackedActorCritic(models)
-        assert Lcap is not None, "stacked tick requires learner-slot compaction"
+        # The stacked branch reads the compaction block's grec4/valid3
+        # outputs, which only exist when Lcap < Asub — catch a too-large cap
+        # here instead of an UnboundLocalError at trace time.
+        assert (Lcap is not None
+                and Lcap < cfg.max_agents // cfg.num_species), \
+            "stacked tick requires learner-slot compaction (Lcap < A/NS)"
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def tick(state: WorldState, train_states, key):
@@ -418,12 +423,16 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
             probs = jax.nn.softmax(logits, axis=-1)
             entropy = -jnp.sum(probs * jnp.log(jnp.clip(probs, 1e-12)),
                                axis=-1)
-            msp = m.reshape(NS, W, Asub).astype(f32)
+            # Elementwise masked sums, NOT einsums: an einsum carrying the
+            # f32 rewards/health payloads would ride TPU's default bf16
+            # matmul path and silently diverge from the loop path's exact
+            # sums (the CLAUDE.md precision hazard; CPU tests can't see it).
+            msp_was = m.reshape(NS, W, Asub).astype(f32).transpose(1, 2, 0)
             count_s = m_sums.astype(f32)
             denom_c = jnp.maximum(count_s, 1.0)
-            rew_full = jnp.einsum("was,swa->s", rewards3, msp)
+            rew_full = jnp.sum(rewards3 * msp_was, axis=(0, 1))
             health3 = state.health.reshape(W, Asub, NS).astype(f32)
-            avg_health = jnp.einsum("was,swa->s", health3, msp) / denom_c
+            avg_health = jnp.sum(health3 * msp_was, axis=(0, 1)) / denom_c
             hist = jnp.einsum("sbk,sb->sk", oh_act.astype(f32), vmask)
             per_species = {
                 "actor_loss": actor_s,
