@@ -169,11 +169,21 @@ def bench_ppo(num_worlds=8192, max_agents=128, iters=2, warmup=1,
     # padded class slots are alive; the per-group one-hot compaction cuts
     # update rows ~2-2.7x with a dropped-row counter guarding correctness.
     slots = int(os.environ.get("BENCH_PPO_SLOTS", "12")) or None
+    # Species-stacked rollout forwards + update phase (BENCH_STACKED=0
+    # opts out): one batched program instead of 4 sequential per-species
+    # ones (learn/ppo.py stacked=True).
+    stacked = (slots is not None
+               and os.environ.get("BENCH_STACKED", "1") == "1")
     it, opt = make_ppo_trainer(models, cfg, rollout_len=rollout_len,
                                use_pallas=use_pallas,
                                compute_dtype=compute_dtype,
-                               learner_slots_per_class=slots)
-    tstates = init_train_states(models, jax.random.key(1), opt)
+                               learner_slots_per_class=slots,
+                               stacked=stacked)
+    if stacked:
+        from madrona_bots_tpu.learn.a2c import init_stacked_train_state
+        tstates = init_stacked_train_state(models, jax.random.key(1), opt)
+    else:
+        tstates = init_train_states(models, jax.random.key(1), opt)
     state = init_state(jax.random.key(0), cfg)
     key = jax.random.key(2)
     for i in range(warmup):

@@ -28,6 +28,23 @@ from madrona_bots_tpu.config import EnvConfig
 _INF = 3.0e38
 
 
+def _nofma(x):
+    """Pin a product to its own f32 rounding before an add consumes it.
+
+    XLA:CPU's LLVM backend contracts `a*b + c` into fma(a, b, c) — the
+    product never rounds to f32 — and ignores optimization_barrier, bitcast
+    round-trips, reduce_precision(8, 23) and multi-use interposition. TPU
+    (both XLA:TPU and Mosaic) computes the plain individually-rounded form.
+    A graze (disc crossing 0 within one ulp) therefore produced DIFFERENT
+    sensor bytes per backend. `maximum` is the one interposition LLVM will
+    not contract through, and it is the identity for every finite value
+    this module produces (|x| <= ~2.6e4 << 3e38), so guarding each product
+    makes plain f32 — the TPU-native arithmetic and what the loop oracle
+    computes — the portable spec on every backend.
+    Pinned by tests/test_raycast.py::test_no_fma_contraction_canary."""
+    return jnp.maximum(x, -_INF)
+
+
 def ray_angle_offsets(cfg: EnvConfig) -> jnp.ndarray:
     """Static per-ray angular offsets from the agent heading.
 
@@ -88,7 +105,8 @@ def raycast(
         c = pos[:, b, :]                                   # [W, 2]
         tgt_ok = alive[:, b]                               # [W]
         oc = c[:, None, :] - pos                           # [W, A, 2] target - source
-        oc2 = jnp.sum(oc * oc, axis=-1)                    # [W, A]
+        ocx, ocy = oc[..., 0], oc[..., 1]
+        oc2 = _nofma(ocx * ocx) + _nofma(ocy * ocy)        # [W, A]
         ok = tgt_ok[:, None] & (self_idx != b)[None, :]    # [W, A]
         # Same q-folding as the Pallas kernel (ops/raycast_pallas.py): the
         # radius term and exclusion mask collapse into one per-target vector,
@@ -99,10 +117,11 @@ def raycast(
         # Sensor rays. Explicit mul+add (NOT an einsum/dot): keeps the
         # arithmetic elementwise f32 on every backend — a dot would hit
         # TPU's default bf16 matmul path and diverge from the Pallas kernel,
-        # which computes cos*ocx + sin*ocy on the VPU in f32.
-        t_c = (dirs[..., 0] * oc[:, :, None, 0]
-               + dirs[..., 1] * oc[:, :, None, 1])         # [W, A, S]
-        disc = t_c * t_c + q[..., None]                    # [W, A, S]
+        # which computes cos*ocx + sin*ocy on the VPU in f32. Every product
+        # rides _nofma so CPU cannot FMA-contract it (plain f32 is the spec).
+        t_c = (_nofma(dirs[..., 0] * ocx[:, :, None])
+               + _nofma(dirs[..., 1] * ocy[:, :, None]))   # [W, A, S]
+        disc = _nofma(t_c * t_c) + q[..., None]            # [W, A, S]
         t_hit = t_c - jnp.sqrt(jnp.maximum(disc, 0.0))
         valid = (disc >= 0) & (t_hit > near)
         t_hit = jnp.where(valid, t_hit, _INF)
@@ -111,8 +130,8 @@ def raycast(
         arg_min = jnp.where(closer, b, arg_min)
 
         # Finder (crosshair) ray.
-        ft_c = jnp.sum(fdir * oc, axis=-1)                 # [W, A]
-        fdisc = ft_c * ft_c + q
+        ft_c = _nofma(fdir[..., 0] * ocx) + _nofma(fdir[..., 1] * ocy)
+        fdisc = _nofma(ft_c * ft_c) + q
         ft = ft_c - jnp.sqrt(jnp.maximum(fdisc, 0.0))
         fvalid = (fdisc >= 0) & (ft > near)
         ft = jnp.where(fvalid, ft, _INF)

@@ -115,6 +115,25 @@ def make_ppo_optimizer(lr: float = 3e-4, max_grad_norm: float = 0.5
     ))
 
 
+def make_stacked_ppo_optimizer(num_species: int, lr: float = 3e-4,
+                               max_grad_norm: float = 0.5
+                               ) -> optax.GradientTransformation:
+    """PPO optimizer for a species-STACKED param tree (models/stacked.py).
+
+    Gradient clipping must stay PER SPECIES (the loop path clips each
+    species by its own global norm — a joint-norm clip would couple the
+    species' updates), so the clip runs on the structured stacked tree and
+    only Adam rides optax.flatten. State structure matches
+    make_ppo_optimizer's (EmptyState, ScaleByAdamState-on-flat), so
+    StackedActorCritic.stack_opt_state converts checkpoints both ways."""
+    from madrona_bots_tpu.models.stacked import \
+        per_species_clip_by_global_norm
+    return optax.chain(
+        per_species_clip_by_global_norm(max_grad_norm, num_species),
+        optax.flatten(optax.adam(lr, eps=1e-5)),
+    )
+
+
 def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
                      rollout_len: int = 16, num_minibatches: int = 4,
                      update_epochs: int = 2, clip_eps: float = 0.2,
@@ -123,7 +142,7 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
                      lr: float = 3e-4, max_grad_norm: float = 0.5,
                      use_pallas: bool = False, optimizer=None,
                      compute_dtype=None, learner_slots_per_class=None,
-                     decorrelate: bool = True):
+                     decorrelate: bool = True, stacked: bool = False):
     """Returns (ppo_iteration, optimizer).
 
     ppo_iteration(state, train_states, key) -> (state, train_states, metrics)
@@ -138,7 +157,27 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
     the update phase trains on ~alive rows instead of the padded capacity.
     Overflow rows beyond L in a crowded group are excluded from the
     LEARNER BATCH only (their transitions go untrained that step, counted
-    in species_*_dropped_rows — zero at typical populations)."""
+    in species_*_dropped_rows — zero at typical populations).
+
+    stacked=True runs the rollout forwards AND the minibatch update phase
+    through ONE species-stacked net (models/stacked.py): every policy
+    matmul / loss op / Adam step covers all NS species in one batched op
+    instead of NS sequential tiny-op programs. Requires
+    learner_slots_per_class < A/NS; `train_states` must be the single
+    stacked SpeciesTrainState (learn/a2c.py init_stacked_train_state with
+    make_stacked_ppo_optimizer). Per-species math is identical to the loop
+    path up to batched-matmul ulps; gradient clipping stays per species
+    (per_species_clip_by_global_norm)."""
+    if stacked:
+        from madrona_bots_tpu.models.stacked import StackedActorCritic
+        sac = StackedActorCritic(models)
+        assert (learner_slots_per_class is not None
+                and learner_slots_per_class
+                < cfg.max_agents // cfg.num_species), \
+            "stacked PPO requires learner-slot compaction (L < A/NS)"
+        if optimizer is None:
+            optimizer = make_stacked_ppo_optimizer(cfg.num_species, lr,
+                                                   max_grad_norm)
     if optimizer is None:
         optimizer = make_ppo_optimizer(lr, max_grad_norm)
     # Profiling ablation (like MBOTS_STEP_SECTIONS for the systems kernel):
@@ -211,6 +250,55 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
         logp = jnp.stack(lp_c, axis=2).reshape(W, A)
         value = jnp.stack(v_c, axis=2).reshape(W, A)
         new_hidden = jnp.stack(h_c, axis=2).reshape(state.hidden.shape)
+        return action, logp, value, new_hidden, obs
+
+    def policy_step_st(params, state: WorldState, key):
+        """Stacked policy_step: ONE batched forward for all species.
+
+        Same outputs as policy_step on the per-species views: species s'
+        rows forward through its own weight slice (models/stacked.py), and
+        sampling uses the identical per-species streams — vmapped
+        categorical with keys[s] = fold_in(key, s) draws the same bits as
+        the loop's categorical(fold_in(key, s), logits_s)."""
+        W, A = state.alive.shape
+        Asub = A // NS
+        Nc = W * Asub
+        obs_dtype = f32 if cd is None else cd
+        obs = _flat_obs(state.sensor_depth, state.health, state.pos,
+                        state.sensor_semantic, state.surrounding, obs_dtype)
+        H = state.hidden.shape[-1]
+
+        def st(x):  # [W, A(, k)] -> species-major [NS, Nc(, k)]
+            x4 = x.reshape((W, Asub, NS) + x.shape[2:])
+            perm = (2, 0, 1) + tuple(range(3, x4.ndim))
+            return x4.transpose(perm).reshape((NS, Nc) + x.shape[2:])
+
+        def unst(x):  # [NS, Nc(, k)] -> [W, A(, k)]
+            x4 = x.reshape((NS, W, Asub) + x.shape[2:])
+            perm = (1, 2, 0) + tuple(range(3, x4.ndim))
+            return x4.transpose(perm).reshape((W, A) + x.shape[2:])
+
+        def _fwd_st(p, o, m):
+            lo, v, h = sac.forward(_cast(p), o if cd is None
+                                   else o.astype(cd),
+                                   m if cd is None else m.astype(cd))
+            return lo.astype(f32), v.astype(f32), h.astype(f32)
+
+        logits, v, h = _fwd_st(params, st(obs), st(state.hidden))
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.arange(NS))
+        a = jax.vmap(jax.random.categorical)(keys, logits)     # [NS, Nc]
+        lsm = jax.nn.log_softmax(logits, -1)
+        lp = jnp.sum(lsm * jax.nn.one_hot(a, lsm.shape[-1], dtype=lsm.dtype),
+                     axis=-1)
+        spec = jnp.arange(1, NS + 1, dtype=state.species.dtype)
+        m = st(state.alive & (state.species
+                              == jnp.tile(spec, Asub)[None, :]))   # [NS, Nc]
+        action = unst(jnp.where(m, a, 0))
+        logp = unst(jnp.where(m, lp, 0.0))
+        value = unst(jnp.where(m, v, 0.0))
+        new_hidden = unst(h * m[..., None].astype(h.dtype)).reshape(
+            state.hidden.shape)
         return action, logp, value, new_hidden, obs
 
     def pack_records(state, obs, mem_in, action, logp, value, rows):
@@ -292,7 +380,12 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def ppo_iteration(state: WorldState, train_states, key):
-        params_list = [ts.params for ts in train_states]
+        if stacked:
+            params_list = train_states.params   # single stacked train state
+            _policy = policy_step_st
+        else:
+            params_list = [ts.params for ts in train_states]
+            _policy = policy_step
         W, A = state.alive.shape
         rec_mode = (learner_slots_per_class is not None
                     and learner_slots_per_class < A // NS)
@@ -301,7 +394,7 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
             state, key = carry
             key, k_act = jax.random.split(key)
             mem_in = state.hidden
-            action, logp, value, new_hidden, obs = policy_step(
+            action, logp, value, new_hidden, obs = _policy(
                 params_list, state, k_act)
             onehot = jax.nn.one_hot(action, NUM_ACTIONS, dtype=jnp.int32)
             if rec_mode:
@@ -335,8 +428,8 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
                                           jnp.arange(T))
 
         # Bootstrap values at T with the current policy.
-        _, _, last_value, _, _ = policy_step(params_list, state,
-                                             jax.random.fold_in(key, 999))
+        _, _, last_value, _, _ = _policy(params_list, state,
+                                         jax.random.fold_in(key, 999))
         last_value = last_value.reshape(W, A)
 
         # GAE over the scan axis; continuing env (no resets, quirk Q7), agent
@@ -445,6 +538,40 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
             adv5 = adv_k.reshape(T, W, NS, rows)
             dropped_ns = roll.dropped.sum(axis=0)           # [NS]
             c0 = D + H + 1                                  # scalar cols
+
+            if stacked:
+                # Stacked layout: every buffer keeps the species axis so
+                # one minibatch slice feeds the batched stacked forward.
+                # Same rows, same roll, same stride classes as the
+                # per-species path — [M, NS, mb, ...] with
+                # out[c, s, i] = x_s[i*M + c], exactly mb_major per species.
+
+                def stk(x):  # [T, NS, W, rows(, k)] -> [NS, B(, k)]
+                    perm = (1, 0, 2, 3) + tuple(range(4, x.ndim))
+                    return x.transpose(perm).reshape((NS, B) + x.shape[4:])
+
+                def mb_major_st(x):
+                    x = jnp.roll(x, roll_off, axis=1)
+                    x = x.reshape((NS, mb, num_minibatches) + x.shape[2:])
+                    perm = (2, 0, 1) + tuple(range(3, x.ndim))
+                    return x.transpose(perm)     # [M, NS, mb, ...]
+
+                if cd is None:
+                    lp = stk(rec5[..., c0])
+                    vv = stk(rec5[..., c0 + 1])
+                else:
+                    lp = stk(sum(rec5[..., c0 + i].astype(f32)
+                                 for i in range(3)))
+                    vv = stk(sum(rec5[..., c0 + 3 + i].astype(f32)
+                                 for i in range(3)))
+                ad = stk(adv5.transpose(0, 2, 1, 3))
+                bufs_st = jax.lax.optimization_barrier(tuple(
+                    mb_major_st(x) for x in (
+                        stk(rec5[..., 0:D + H]),
+                        stk(rec5[..., D + H]).astype(jnp.int32),
+                        lp, ad, ad + vv, vv, stk(valid5))))
+                return bufs_st, dropped_ns
+
             bufs, dropped = [], []
             for s in range(NS):
                 # Roll + minibatch-major + barrier HERE so each species'
@@ -480,10 +607,109 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
         if _stage == "buffers":
             cks = advantages.sum()
             if sp_bufs is not None:
-                cks = cks + sum(jnp.sum(b.astype(f32))
-                                for bufs in sp_bufs for b in bufs)
+                flat = (sp_bufs if stacked
+                        else [b for bufs in sp_bufs for b in bufs])
+                cks = cks + sum(jnp.sum(b.astype(f32)) for b in flat)
             return state, train_states, {
                 "env_steps": jnp.float32(T * W), "stage_checksum": cks}
+
+        if stacked:
+            # ---- ONE update scan over the species-stacked params ----
+            bufs_st, dropped_ns = sp_bufs, sp_dropped
+            ts = train_states
+            D_obs = cfg.obs_dim
+
+            def _head_st(logits, v, a, lp_old, adv_n, ret, vold, w):
+                """Per-species clipped-surrogate sums [NS] (see _head —
+                same formulas with a leading species axis; remat unit for
+                the same lane-padding reason)."""
+                lsm_new = jax.nn.log_softmax(logits, -1)
+                logp_new = jnp.sum(
+                    lsm_new * jax.nn.one_hot(a, lsm_new.shape[-1],
+                                             dtype=lsm_new.dtype), axis=-1)
+                ratio = jnp.exp(logp_new - lp_old)
+                pg = -jnp.minimum(
+                    ratio * adv_n,
+                    jnp.clip(ratio, 1 - clip_eps, 1 + clip_eps) * adv_n)
+                v_clip = vold + jnp.clip(v - vold, -clip_eps, clip_eps)
+                v_loss = 0.5 * jnp.maximum((v - ret) ** 2,
+                                           (v_clip - ret) ** 2)
+                probs = jax.nn.softmax(logits, -1)
+                ent = -jnp.sum(probs * jnp.log(jnp.clip(probs, 1e-12)), -1)
+                return (jnp.sum(pg * w, axis=1), jnp.sum(v_loss * w, axis=1),
+                        jnp.sum(ent * w, axis=1))
+
+            if os.environ.get("MBOTS_PPO_HEAD_REMAT", "1") == "1":
+                _head_st = jax.checkpoint(_head_st)
+
+            def _fwd_st_u(params, o, m):
+                lo, v, h = sac.forward(_cast(params),
+                                       o if cd is None else o.astype(cd),
+                                       m if cd is None else m.astype(cd))
+                return lo.astype(f32), v.astype(f32), h.astype(f32)
+
+            _fwd_st_remat = (jax.checkpoint(_fwd_st_u)
+                             if os.environ.get("MBOTS_PPO_REMAT", "0") == "1"
+                             else _fwd_st_u)
+
+            def loss_fn(params, picked):
+                om, a, lp_old, adv, ret, vold, msk = picked   # [NS, mb, ...]
+                o, m = om[..., :D_obs], om[..., D_obs:]
+                w = msk.astype(f32)
+                denom = jnp.maximum(w.sum(axis=1), 1.0)       # [NS]
+                # advantage normalization per species minibatch (the same
+                # per-species statistics the loop path computes)
+                mu = jnp.sum(adv * w, axis=1) / denom
+                var = jnp.sum((adv - mu[:, None]) ** 2 * w, axis=1) / denom
+                adv_n = (adv - mu[:, None]) * jax.lax.rsqrt(
+                    var + 1e-8)[:, None]
+                logits, v, _ = _fwd_st_remat(params, o, m)
+                pg_s, vl_s, ent_s = _head_st(logits, v, a, lp_old, adv_n,
+                                             ret, vold, w)
+                loss_s = (pg_s + vf_coef * vl_s - ent_coef * ent_s) / denom
+                # species param slices are disjoint: the summed loss yields
+                # exactly each species' own gradient in its slice
+                return jnp.sum(loss_s), (loss_s, pg_s / denom,
+                                         vl_s / denom, ent_s / denom)
+
+            def epoch_body(ts, e):
+                def mb_body(ts, i):
+                    cls = (i + e) % num_minibatches if decorrelate else i
+                    picked = tuple(
+                        jax.lax.dynamic_index_in_dim(x, cls, axis=0,
+                                                     keepdims=False)
+                        for x in bufs_st)
+                    (_, aux), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True)(ts.params, picked)
+                    updates, opt = optimizer.update(grads, ts.opt_state,
+                                                    ts.params)
+                    return SpeciesTrainState(
+                        optax.apply_updates(ts.params, updates), opt), aux
+
+                return jax.lax.scan(mb_body, ts, jnp.arange(num_minibatches))
+
+            ts, (loss_s, pg_s, vl_s, ent_s) = jax.lax.scan(
+                epoch_body, ts, jnp.arange(update_epochs))  # [E, M, NS]
+
+            # Full-alive-set per-species reward/count (elementwise masked
+            # sums, NOT einsums — TPU matmul precision hazard).
+            al4 = roll.alive.reshape(T, W, Asub, NS)
+            rw4 = roll.reward.reshape(T, W, Asub, NS)
+            count_ns = jnp.sum(al4.astype(f32), axis=(0, 1, 2))
+            reward_ns = jnp.sum(rw4 * al4.astype(f32), axis=(0, 1, 2))
+            per_species = {
+                "loss": loss_s.mean(axis=(0, 1)),
+                "pg_loss": pg_s.mean(axis=(0, 1)),
+                "v_loss": vl_s.mean(axis=(0, 1)),
+                "entropy": ent_s.mean(axis=(0, 1)),
+                "count": count_ns / T,
+                "reward": reward_ns / T,
+                "dropped_rows": dropped_ns,
+            }
+            metrics = {f"species_{s + 1}_{k}": v[s]
+                       for k, v in per_species.items() for s in range(NS)}
+            metrics["env_steps"] = jnp.float32(T * W)
+            return state, ts, metrics
 
         def update_species(s, ts):
             if rec_mode:

@@ -65,6 +65,15 @@ def train(args):
     ckpt = CheckpointManager(base_ckpt_dir, restore=True)
     gen = SpeciesNetGenerator(args.obs_dim, args.action_dim, args.hidden_dim,
                               args.memory_dim, seed=args.seed)
+    if args.stacked and args.learner_slots is None:
+        # The stacked batched update trains on compacted learner rows; 12
+        # slots/class covers typical populations with zero drops (bench.py
+        # default, BASELINE.md).
+        args.learner_slots = 12
+        print("--stacked: defaulting --learner_slots to 12")
+    # Checkpoints are ALWAYS per-species (reference layout), so the
+    # universe dir is interchangeable between --stacked and loop runs; the
+    # per-species optimizer defines the on-disk opt-state format.
     if args.algo == "ppo":
         from madrona_bots_tpu.learn.ppo import make_ppo_optimizer
         optimizer = make_ppo_optimizer(args.lr)
@@ -95,6 +104,34 @@ def train(args):
     tstates = tuple(tstates)
     compute_dtype = {"f32": None, "bf16": jnp.bfloat16}[args.compute_dtype]
 
+    sac = None
+    if args.stacked:
+        # Stack the restored per-species params AND Adam moments into the
+        # single stacked train state (exact resume: stack_opt_state routes
+        # the flattened moment vectors through the stacked layout). The
+        # stacked PPO optimizer clips per species, so its state converts
+        # 1:1 with the per-species one (tests/test_stacked_ppo.py).
+        from madrona_bots_tpu.models.stacked import StackedActorCritic
+        from madrona_bots_tpu.learn.a2c import SpeciesTrainState
+        sac = StackedActorCritic(models)
+        params_list = [ts.params for ts in tstates]
+        sp = sac.stack_params(params_list)
+        opt_st = sac.stack_opt_state([ts.opt_state for ts in tstates],
+                                     params_list, sp)
+        tstates = SpeciesTrainState(sp, opt_st)
+        if args.algo == "ppo":
+            from madrona_bots_tpu.learn.ppo import make_stacked_ppo_optimizer
+            optimizer = make_stacked_ppo_optimizer(args.num_species, args.lr)
+
+    def species_states(ts):
+        """Per-species (params, opt_state) views for checkpointing."""
+        if not args.stacked:
+            return ts
+        from madrona_bots_tpu.learn.a2c import SpeciesTrainState
+        ps = sac.unstack_params(ts.params)
+        os_ = sac.unstack_opt_state(ts.opt_state, ps, ts.params)
+        return [SpeciesTrainState(p, o) for p, o in zip(ps, os_)]
+
     if args.algo == "ppo":
         # PPO scale path (BASELINE configs 2-4): one "epoch" = one PPO
         # iteration of `--rollout_len` on-device env steps + minibatch epochs.
@@ -104,7 +141,8 @@ def train(args):
                                    use_pallas=args.use_pallas,
                                    optimizer=optimizer,
                                    compute_dtype=compute_dtype,
-                                   learner_slots_per_class=args.learner_slots)
+                                   learner_slots_per_class=args.learner_slots,
+                                   stacked=args.stacked)
         state = init_state(jax.random.key(args.seed), cfg)
         if args.use_mesh:
             from madrona_bots_tpu.parallel import make_mesh, shard_state
@@ -119,7 +157,8 @@ def train(args):
             proper_log_probs=args.proper_log_probs,
             use_pallas=args.use_pallas, compute_dtype=compute_dtype,
             quirk_compat=args.quirk_compat,
-            learner_slots_per_class=args.learner_slots)
+            learner_slots_per_class=args.learner_slots,
+            stacked=args.stacked)
         state = shard_state(init_state(jax.random.key(args.seed), cfg), mesh)
         print(f"mesh: {len(mesh.devices.flat)} devices, worlds sharded")
     else:
@@ -128,7 +167,8 @@ def train(args):
                                   quirk_compat=args.quirk_compat,
                                   use_pallas=args.use_pallas,
                                   compute_dtype=compute_dtype,
-                                  learner_slots_per_class=args.learner_slots)
+                                  learner_slots_per_class=args.learner_slots,
+                                  stacked=args.stacked)
         state = init_state(jax.random.key(args.seed), cfg)
     key = jax.random.key(args.seed + 1)
 
@@ -152,12 +192,19 @@ def train(args):
         have_best = all(f"species_1_{m}" in metric_keys
                         for m in best_metric_names)
 
+        # For --stacked, per-species "train state" views snapshot the whole
+        # stacked tree (tiny nets; 12 copies is ~30 MB) — unstacked to the
+        # right species only at file-save time.
+        ts_view = ((lambda ts, sp: ts) if args.stacked
+                   else (lambda ts, sp: ts[sp]))
+
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def block(state, tstates, key, best_vals):
             # Snapshot trees (3 deep copies of params+Adam state) only when
             # best tracking is live — PPO block mode never uses them, so
             # carrying them would cost ~3x train-state HBM for nothing.
-            snaps0 = (tuple(tuple(jax.tree.map(jnp.copy, ts) for ts in tstates)
+            snaps0 = (tuple(tuple(jax.tree.map(jnp.copy, ts_view(tstates, sp))
+                                  for sp in range(NSp))
                             for _ in best_metric_names) if have_best else ())
             best_idx0 = jnp.full((len(best_metric_names), NSp), -1, jnp.int32)
 
@@ -177,7 +224,7 @@ def train(args):
                                 jnp.where(better, i, bidx[mi, sp]))
                             row.append(jax.tree.map(
                                 lambda a, b: jnp.where(better, a, b),
-                                ts[sp], snaps[mi][sp]))
+                                ts_view(ts, sp), snaps[mi][sp]))
                         new_snaps.append(tuple(row))
                     snaps = tuple(new_snaps)
                 return (s, ts, k, bv, snaps, bidx), m
@@ -216,12 +263,13 @@ def train(args):
         if not track_best:
             logger.log(host_metrics)
             return
+        sps = species_states(tstates) if save else None
         for sp in range(args.num_species):
             epoch = start_epochs[sp] + rel_epoch
             host_metrics[f"species_{sp+1}_learning_rate"] = args.lr
             host_metrics["epoch"] = epoch
             if save and rel_epoch % args.ckpt_every == 0:
-                ckpt.save(models[sp], tstates[sp].params, tstates[sp].opt_state,
+                ckpt.save(models[sp], sps[sp].params, sps[sp].opt_state,
                           f"species_{sp+1}", epoch, metric_name="latest",
                           verbose=args.verbose)
             for metric in best_metric_names:
@@ -231,8 +279,8 @@ def train(args):
                 if v < best[metric][sp]:
                     best[metric][sp] = v
                     if save:
-                        ckpt.save(models[sp], tstates[sp].params,
-                                  tstates[sp].opt_state, f"species_{sp+1}",
+                        ckpt.save(models[sp], sps[sp].params,
+                                  sps[sp].opt_state, f"species_{sp+1}",
                                   epoch, metric_name=metric,
                                   verbose=args.verbose)
         logger.log(host_metrics)
@@ -271,8 +319,9 @@ def train(args):
                     break
             # One save pass per block: latest (end-of-block params) + any
             # best that improved, from its improving-tick device snapshot.
+            sps = species_states(tstates)
             for sp in range(args.num_species):
-                ckpt.save(models[sp], tstates[sp].params, tstates[sp].opt_state,
+                ckpt.save(models[sp], sps[sp].params, sps[sp].opt_state,
                           f"species_{sp+1}", start_epochs[sp] + rel_epoch,
                           metric_name="latest", verbose=args.verbose)
             if have_best:
@@ -285,6 +334,8 @@ def train(args):
                             epoch = (start_epochs[sp] + block_start
                                      + int(bidx_h[mi, sp]) + 1)
                             snap = snaps[mi][sp]
+                            if args.stacked:
+                                snap = species_states(snap)[sp]
                             ckpt.save(models[sp], snap.params, snap.opt_state,
                                       f"species_{sp+1}", epoch,
                                       metric_name=metric, verbose=args.verbose)
@@ -347,6 +398,13 @@ def main(argv=None):
                         help='cap learner rows per (world, species) via '
                              'on-device compaction; None trains on all '
                              'padded slots')
+    parser.add_argument('--stacked', action='store_true',
+                        help='run all species through ONE species-stacked '
+                             'batched net (models/stacked.py): ~NSx fewer '
+                             'XLA ops per update at identical per-species '
+                             'math; checkpoints stay per-species (exact '
+                             'resume both ways). Implies --learner_slots '
+                             '(default 12). Works with a2c and ppo.')
     args = parser.parse_args(argv)
     train(args)
 

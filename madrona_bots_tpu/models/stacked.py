@@ -40,10 +40,61 @@ from typing import Any, Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from madrona_bots_tpu.models.actor_critic import _ACT, ActorCritic
 
 f32 = jnp.float32
+
+
+def per_species_clip_by_global_norm(max_norm: float, num_species: int
+                                    ) -> optax.GradientTransformation:
+    """optax.clip_by_global_norm, applied independently per species slice.
+
+    For a species-STACKED tree (every leaf carries a leading [NS] axis) the
+    plain transform would clip by the JOINT norm across species — different
+    updates than the per-species training loop it replaces. Here each
+    species' norm sums only its own slices (padded entries are zeros and
+    contribute exactly 0.0), and the clip formula matches optax's
+    `(t / g_norm) * max_norm` form so per-species values agree with the
+    unstacked optimizer up to float-summation order of the norm."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        sq = sum(jnp.sum(jnp.square(x.reshape(num_species, -1)), axis=1)
+                 for x in jax.tree.leaves(updates))
+        g_norm = jnp.sqrt(sq)                                # [NS]
+        trigger = g_norm < max_norm
+
+        def clip_fn(t):
+            shape = (num_species,) + (1,) * (t.ndim - 1)
+            scaled = (t / g_norm.astype(t.dtype).reshape(shape)) * max_norm
+            return jnp.where(trigger.reshape(shape), t, scaled)
+
+        return jax.tree.map(clip_fn, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _unflatten_like(template, vec):
+    """Inverse of optax.flatten's ravel_pytree order: split `vec` into the
+    leaves of `template` (jax.tree leaf order, per-leaf ravel)."""
+    leaves, tdef = jax.tree.flatten(template)
+    out, i = [], 0
+    for leaf in leaves:
+        n = leaf.size
+        out.append(vec[i:i + n].reshape(leaf.shape).astype(leaf.dtype))
+        i += n
+    assert i == vec.size, "flat vector size does not match the template"
+    return jax.tree.unflatten(tdef, out)
+
+
+def _flatten_like(tree):
+    return jnp.concatenate([x.ravel() for x in jax.tree.leaves(tree)])
 
 
 def _trunk_shape(config) -> tuple | None:
@@ -208,6 +259,62 @@ class StackedActorCritic:
             out.append({"feature": feature, "recurrent": rec,
                         "actor": heads["actor"], "critic": heads["critic"]})
         return out
+
+    # -- optimizer-state layout conversion ----------------------------------
+    #
+    # Production optimizers wrap Adam in optax.flatten (learn/a2c.py
+    # make_optimizer, learn/ppo.py make_ppo_optimizer), so their states hold
+    # the Adam moments as ONE flat vector in params-leaf order. Moments are
+    # param-shaped, so the same stack_params/unstack_params machinery
+    # converts them — these helpers just route each flat moment vector
+    # through unflatten -> (un)stack -> reflatten so a universe checkpoint
+    # written by the per-species loop resumes EXACTLY (same Adam moments)
+    # under the stacked tick, and vice versa. Padded entries carry zero
+    # moments, matching their permanently-zero gradients.
+
+    def _convert_flat(self, vecs_or_vec, params_list, stacked_params,
+                      to_stacked: bool):
+        if to_stacked:
+            trees = [_unflatten_like(params_list[s], vecs_or_vec[s])
+                     for s in range(self.num_species)]
+            return _flatten_like(self.stack_params(trees))
+        trees = self.unstack_params(
+            _unflatten_like(stacked_params, vecs_or_vec))
+        return [_flatten_like(t) for t in trees]
+
+    def stack_opt_state(self, opt_states: Sequence[Any], params_list,
+                        stacked_params):
+        """Per-species flattened-optimizer states -> one stacked state.
+
+        Every leaf that is a flat params-sized vector (Adam mu/nu under
+        optax.flatten) converts through the stacked layout; scalar leaves
+        (step counts) must agree across species and pass through."""
+        sizes = [sum(x.size for x in jax.tree.leaves(p)) for p in params_list]
+
+        def conv(*xs):
+            if xs[0].ndim == 1 and all(x.size == n
+                                       for x, n in zip(xs, sizes)):
+                return self._convert_flat(list(xs), params_list,
+                                          stacked_params, to_stacked=True)
+            return xs[0]
+
+        return jax.tree.map(conv, *opt_states)
+
+    def unstack_opt_state(self, opt_state, params_list, stacked_params
+                          ) -> List[Any]:
+        """One stacked flattened-optimizer state -> per-species states."""
+        n_st = sum(x.size for x in jax.tree.leaves(stacked_params))
+        leaves, tdef = jax.tree.flatten(opt_state)
+        per = [[] for _ in range(self.num_species)]
+        for leaf in leaves:
+            if leaf.ndim == 1 and leaf.size == n_st:
+                vs = self._convert_flat(leaf, params_list, stacked_params,
+                                        to_stacked=False)
+            else:
+                vs = [leaf] * self.num_species
+            for s in range(self.num_species):
+                per[s].append(vs[s])
+        return [jax.tree.unflatten(tdef, p) for p in per]
 
     # -- forward ------------------------------------------------------------
 

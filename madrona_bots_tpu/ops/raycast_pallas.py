@@ -36,10 +36,22 @@ from madrona_bots_tpu.env.raycast import ray_angle_offsets
 _INF = 3.0e38  # python float: folds into kernel ops without const capture
 
 
+def _mk_guard(guard: bool):
+    """Product-rounding pin for interpret mode (env/raycast._nofma): the
+    interpret path runs kernel bodies as XLA:CPU ops, whose LLVM backend
+    FMA-contracts mul+add chains; Mosaic on real TPU computes the plain
+    individually-rounded form (the spec). guard=True (interpret only) pins
+    every product so CPU tests see the same bits as hardware; guard=False
+    (Mosaic) adds no ops."""
+    if guard:
+        return lambda x: jnp.maximum(x, -_INF)
+    return lambda x: x
+
+
 def _kernel(posx_ref, posy_ref, heading_ref, alive_ref, offs_ref,
             posx_s, posy_s, species_s, compact_s, nalive_s,
             depth_ref, semantic_ref, finder_ref,
-            *, cfg: EnvConfig, wb: int):
+            *, cfg: EnvConfig, wb: int, guard: bool = False):
     S = cfg.sensor_size
     A = posx_ref.shape[1]
     r2 = jnp.float32(cfg.agent_radius * cfg.agent_radius)
@@ -89,9 +101,10 @@ def _kernel(posx_ref, posy_ref, heading_ref, alive_ref, offs_ref,
             ty = posy_s[w, slot]
             t_species = species_s[w, slot]
 
+            g = _mk_guard(guard)
             ocx = tx - px[w]                                     # [1, A]
             ocy = ty - py[w]
-            oc2 = ocx * ocx + ocy * ocy
+            oc2 = g(ocx * ocx) + g(ocy * ocy)
             ok = in_range & (lane != slot)                       # [1, A]
             # q folds the radius test AND the exclusion mask: excluded lanes
             # get q = -inf so disc = t_c^2 + q stays negative — one [1, A]
@@ -107,16 +120,16 @@ def _kernel(posx_ref, posy_ref, heading_ref, alive_ref, offs_ref,
             # results stay bit-identical. (The semantic carry stays int32:
             # Mosaic cannot relayout an f32-compare mask to the int8
             # select tiling.)
-            t_c = cos_a[w] * ocx + sin_a[w] * ocy
-            disc = t_c * t_c + q
+            t_c = g(cos_a[w] * ocx) + g(sin_a[w] * ocy)
+            disc = g(t_c * t_c) + q
             t_hit = t_c - jnp.sqrt(disc)                 # NaN on miss
             closer = (t_hit > near) & (t_hit < t_min[w])
             new_t.append(jnp.where(closer, t_hit, t_min[w]))
             new_sem.append(jnp.where(closer, t_species, sem_min[w]))
 
             # Crosshair (finder) ray: [1, A].
-            ft_c = cos_h[w] * ocx + sin_h[w] * ocy
-            fdisc = ft_c * ft_c + q
+            ft_c = g(cos_h[w] * ocx) + g(sin_h[w] * ocy)
+            fdisc = g(ft_c * ft_c) + q
             ft = ft_c - jnp.sqrt(fdisc)                  # NaN on miss
             fcloser = (ft > near) & (ft < f_min[w])
             new_f.append(jnp.where(fcloser, ft, f_min[w]))
@@ -206,7 +219,7 @@ def _bf16_split3(x):
             h3.astype(jnp.bfloat16))
 
 
-def _mk_tile_fns(cfg: EnvConfig, S: int, A: int):
+def _mk_tile_fns(cfg: EnvConfig, S: int, A: int, guard: bool = False):
     """Shared per-tile fold/epilogue builders for the packed kernels.
 
     Returns (make_visit, finalize, carry0); identical float arithmetic to
@@ -237,11 +250,13 @@ def _mk_tile_fns(cfg: EnvConfig, S: int, A: int):
         sa8 = jnp.concatenate(
             [sin_a, jnp.broadcast_to(sin_h, (8, sin_h.shape[1]))], axis=0)
 
+        g = _mk_guard(guard)
+
         def visit(carry, tx, ty, tslot, tsp, valid):
             t_min, val_min = carry
             ocx = tx - px
             ocy = ty - py
-            oc2 = ocx * ocx + ocy * ocy
+            oc2 = g(ocx * ocx) + g(ocy * ocy)
             ok = valid & (srcslot != tslot)
             q = jnp.where(ok, r2 - oc2, -_INF)                   # [1, A]
 
@@ -249,8 +264,8 @@ def _mk_tile_fns(cfg: EnvConfig, S: int, A: int):
             # sqrt NaN => both compares false; winners write the identical
             # f32 value, so the carry evolution is bit-exact vs the
             # select-to-INF form at 4 fewer wide ops per visit.
-            t_c = ca8 * ocx + sa8 * ocy                          # [R, A]
-            disc = t_c * t_c + q
+            t_c = g(ca8 * ocx) + g(sa8 * ocy)                    # [R, A]
+            disc = g(t_c * t_c) + q
             t_hit = t_c - jnp.sqrt(disc)                         # NaN on miss
             closer = (t_hit > near) & (t_hit < t_min)
             t_min = jnp.where(closer, t_hit, t_min)
@@ -294,7 +309,7 @@ def _kernel_packed(offs_ref, px_ref, py_ref, hd_ref, alive_ref,
                    pkx_ref, pky_ref, pkh_ref, pks_ref,
                    *rest,
                    cfg: EnvConfig, pairs: int, unroll: int = 4,
-                   quad: bool = False):
+                   quad: bool = False, guard: bool = False):
     if quad:
         (qkx_ref, qky_ref, qkh_ref, qks_ref,
          posx_s, posy_s, species_s, alive_s,
@@ -312,7 +327,7 @@ def _kernel_packed(offs_ref, px_ref, py_ref, hd_ref, alive_ref,
     offs = offs_ref[...].reshape(S, 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, A), 1)
     half0 = lane < half
-    make_visit, finalize, carry0 = _mk_tile_fns(cfg, S, A)
+    make_visit, finalize, carry0 = _mk_tile_fns(cfg, S, A, guard=guard)
 
     def emit_quad(q):
         """4 worlds per tile: each owns a quarter of the lane axis, one
@@ -621,7 +636,8 @@ def raycast_pallas_packed(pos, heading, alive, species, cfg: EnvConfig,
         mode_ops, mode_specs = (mode,), [s1m]
 
     depth_t, semantic_t, finder_t = pl.pallas_call(
-        partial(_kernel_packed, cfg=cfg, pairs=P, unroll=unroll, quad=quad),
+        partial(_kernel_packed, cfg=cfg, pairs=P, unroll=unroll, quad=quad,
+                guard=interpret),
         grid=(W // (2 * P),),
         in_specs=[offs_spec, b2, b2, b2, b2, b1, b1, b1, b1, *quad_specs,
                   s2, s2, s2, s2, s2h, s2h, s2h, s2h, s2n, *mode_specs],
@@ -695,7 +711,7 @@ def _kernel_ladder(offs_ref, px_ref, py_ref, hd_ref, alive_ref,
                    posx_s, posy_s, species_s, alive_s,
                    cx_s, cy_s, cslot_s, cspec_s, n_s, mode_s, m12_s,
                    depth_ref, semantic_ref, finder_ref,
-                   *, cfg: EnvConfig, unroll: int = 4):
+                   *, cfg: EnvConfig, unroll: int = 4, guard: bool = False):
     S = cfg.sensor_size
     A = px_ref.shape[1]
     half = A // 2
@@ -707,7 +723,7 @@ def _kernel_ladder(offs_ref, px_ref, py_ref, hd_ref, alive_ref,
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, A), 1)
     half0 = lane < half
     tseg = (lane < tb1, (lane >= tb1) & (lane < tb2), lane >= tb2)
-    make_visit, finalize, carry0 = _mk_tile_fns(cfg, S, A)
+    make_visit, finalize, carry0 = _mk_tile_fns(cfg, S, A, guard=guard)
 
     def fold(px, py, hd, srcslot, target_of, nmax):
         """Shared drive: trig prep, unrolled target fold, wall epilogue."""
@@ -1007,7 +1023,7 @@ def raycast_pallas_ladder(pos, heading, alive, species, cfg: EnvConfig,
     out2 = pl.BlockSpec((BW, A), lambda i: (i, 0), memory_space=vm)
 
     depth_t, semantic_t, finder_t = pl.pallas_call(
-        partial(_kernel_ladder, cfg=cfg, unroll=unroll),
+        partial(_kernel_ladder, cfg=cfg, unroll=unroll, guard=interpret),
         grid=(W // BW,),
         in_specs=[offs_spec, b2, b2, b2, b2, bp, bp, bp, bp,
                   bq, bq, bq, bq,
@@ -1098,7 +1114,7 @@ def raycast_pallas_blocked(pos, heading, alive, species, cfg: EnvConfig,
     out2 = pl.BlockSpec((wb, A), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     depth_t, semantic_t, finder = pl.pallas_call(
-        partial(_kernel, cfg=cfg, wb=wb),
+        partial(_kernel, cfg=cfg, wb=wb, guard=interpret),
         grid=(W // wb,),
         in_specs=[in_spec] * 4 + [offs_spec] + [smem_spec] * 4 + [smem1_spec],
         out_specs=(out3, out3, out2),

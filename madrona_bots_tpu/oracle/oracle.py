@@ -359,14 +359,103 @@ class OracleWorld:
         self._new_mask = new_mask
         self.t = t + 1
 
-        # --- sensor pass (jnp reference raycast on this single world) ---
-        from madrona_bots_tpu.env.raycast import raycast
-        d, sm, fd = raycast(
-            jnp.asarray(self.pos)[None], jnp.asarray(self.heading)[None],
-            jnp.asarray(self.alive)[None], jnp.asarray(self.species)[None], cfg)
-        self.sensor_depth = np.asarray(d[0])
-        self.sensor_semantic = np.asarray(sm[0])
-        self.finder = np.asarray(fd[0])
+        # --- sensor pass (independent loop-based raycast, below) ---
+        self._sensor_pass()
+
+    def _sensor_pass(self):
+        """Independent per-ray/per-target sensor — the double-entry form of
+        SPEC.md "Sensor pass" (deviation D7; ray fan per the reference's
+        3/4-forward-1/4-back split, gfx.cpp:252-253). Shares NO code with
+        env/raycast.py or ops/raycast_pallas.py: geometry is re-derived here
+        as explicit loops so a bug in the vectorized implementation cannot
+        hide behind "oracle parity". Float discipline: every op is a single
+        IEEE f32 mul/add/sub/div/sqrt (bit-equal between numpy and XLA);
+        trig routes through XLA (jnp.cos/jnp.sin) because libm ulps differ.
+
+        Semantics: rays hit alive agents (circles of radius agent_radius,
+        self excluded) and the 4 arena walls; the nearest hit with t > near
+        wins, ties (identical f32 t) going to the lowest target slot. Depth
+        byte = 255 - min(255, floor(255*t/max_range)); semantic = species
+        of the hit agent, 0 for wall, -1 for none. The finder is the
+        nearest agent (walls excluded) along the exact heading ray."""
+        cfg = self.cfg
+        A = cfg.max_agents
+        S = cfg.sensor_size
+        f32 = np.float32
+        INF = f32(3.0e38)
+        nf = 3 * S // 4
+        nb = S - nf
+        fov = math.radians(cfg.fov_degrees)
+        offs = np.array(
+            [fov / 2 - fov * (i + 0.5) / nf for i in range(nf)]
+            + [math.pi + fov / 2 - fov * (j + 0.5) / nb for j in range(nb)],
+            dtype=f32)
+        r2 = f32(cfg.agent_radius * cfg.agent_radius)
+        near = f32(cfg.near)
+        lim = (f32(cfg.world_lim_x), f32(cfg.world_lim_y))
+        scale = f32(255.0 / cfg.max_range)
+
+        depth = np.zeros((A, S), np.uint8)
+        sem = np.full((A, S), -1, np.int8)
+        fnd = np.full(A, -1, np.int32)
+        for a in range(A):
+            if not self.alive[a]:
+                continue
+            ang = self.heading[a] + offs                     # f32 adds
+            ca = np.asarray(jnp.cos(jnp.asarray(ang)))
+            sa = np.asarray(jnp.sin(jnp.asarray(ang)))
+            ch, sh = _cos_sin(self.heading[a])
+            px, py = self.pos[a, 0], self.pos[a, 1]
+
+            t_min = np.full(S, INF, f32)
+            arg = np.full(S, -1, np.int32)
+            f_min, f_arg = INF, -1
+            for b in range(A):
+                if b == a or not self.alive[b]:
+                    continue
+                ocx = f32(self.pos[b, 0] - px)
+                ocy = f32(self.pos[b, 1] - py)
+                oc2 = f32(f32(ocx * ocx) + f32(ocy * ocy))
+                q = f32(r2 - oc2)
+                # fan rays (numpy f32 vector over S: elementwise IEEE ops,
+                # bit-equal to any vectorization of the same formulas)
+                t_c = ca * ocx + sa * ocy
+                disc = t_c * t_c + q
+                t_hit = t_c - np.sqrt(np.maximum(disc, f32(0.0)))
+                closer = (disc >= 0) & (t_hit > near) & (t_hit < t_min)
+                t_min = np.where(closer, t_hit, t_min)
+                arg = np.where(closer, np.int32(b), arg)
+                # finder (crosshair) ray
+                ft_c = f32(f32(ch * ocx) + f32(sh * ocy))
+                fdisc = f32(f32(ft_c * ft_c) + q)
+                if fdisc >= 0:
+                    ft = f32(ft_c - f32(np.sqrt(fdisc)))
+                    if ft > near and ft < f_min:
+                        f_min, f_arg = ft, b
+
+            p = (px, py)
+            for si in range(S):
+                d2 = (ca[si], sa[si])
+                tw = INF
+                for k in range(2):
+                    th = f32((lim[k] - p[k]) / d2[k]) if d2[k] > 0 else INF
+                    tl = f32(-p[k] / d2[k]) if d2[k] < 0 else INF
+                    tw = min(tw, min(th, tl))
+                if not tw > near:
+                    tw = INF
+                agent_wins = t_min[si] < tw
+                t = min(t_min[si], tw)
+                if t < INF:
+                    db = 255 - int(min(f32(np.floor(f32(t * scale))),
+                                       f32(255.0)))
+                    depth[a, si] = np.uint8(db)
+                    sem[a, si] = (np.int8(self.species[arg[si]])
+                                  if agent_wins else 0)
+            fnd[a] = f_arg if f_min < INF else -1
+
+        self.sensor_depth = depth
+        self.sensor_semantic = sem
+        self.finder = fnd
 
 
 def _cos_sin(h):

@@ -23,17 +23,20 @@ def make_sharded_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
                             proper_log_probs: bool = False,
                             use_pallas: bool = False, compute_dtype=None,
                             quirk_compat: bool = False,
-                            learner_slots_per_class=None):
+                            learner_slots_per_class=None,
+                            stacked: bool = False):
     """Like a2c.make_train_tick but with explicit in/out shardings over the
     mesh: state worlds-sharded, train states + key replicated. Accepts the
-    full single-chip feature set (learner-row compaction, quirk_compat) —
-    the compaction one-hot contractions are per-world, so they shard over
-    the worlds axis with zero cross-chip traffic."""
+    full single-chip feature set (learner-row compaction, quirk_compat,
+    species-stacked batched update) — the compaction one-hot contractions
+    are per-world, so they shard over the worlds axis with zero cross-chip
+    traffic; the stacked update's species axis is replicated like the
+    per-species loop's params."""
     base_tick, optimizer = a2c.make_train_tick(
         models, cfg, lr=lr, gamma=gamma, proper_log_probs=proper_log_probs,
         use_pallas=use_pallas, compute_dtype=compute_dtype,
         quirk_compat=quirk_compat,
-        learner_slots_per_class=learner_slots_per_class)
+        learner_slots_per_class=learner_slots_per_class, stacked=stacked)
     # Re-jit the underlying function with shardings (base_tick is jitted
     # without them; reuse its wrapped impl).
     impl = base_tick.__wrapped__

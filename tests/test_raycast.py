@@ -259,3 +259,41 @@ def test_pallas_ladder_padding_and_mixed_population():
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+
+
+def test_no_fma_contraction_canary():
+    """SPEC D7b pin: the sensor's plain-f32 arithmetic must survive the
+    compiler. These operands come from a real grazing ray (disc within one
+    ulp of 0): XLA:CPU's LLVM backend FMA-contracts an unguarded
+    `ca*ocx + sa*ocy`, producing 73.04711 / disc >= 0 (a hit) where the
+    individually-rounded form — what TPU hardware computes — gives
+    73.047104 / disc < 0 (a miss). If this test ever fails, the _nofma
+    guard (env/raycast.py) stopped defeating the contraction on this
+    toolchain and the sensor spec is no longer portable."""
+    def fb(h):
+        return np.frombuffer(bytes.fromhex(h), dtype=np.float32)[0]
+
+    ca, sa = fb("426d7c3f"), fb("f37d2a3e")
+    ocx, ocy = fb("d6b88f42"), fb("145f5241")
+    r2 = np.float32(1.0)
+
+    from madrona_bots_tpu.env.raycast import _nofma
+
+    def guarded(c, s, x, y):
+        cv = jnp.full((8, 128), c)
+        sv = jnp.full((8, 128), s)
+        t_c = _nofma(cv * x) + _nofma(sv * y)
+        oc2 = _nofma(x * x) + _nofma(y * y)
+        disc = _nofma(t_c * t_c) + (r2 - oc2)
+        return t_c[3, 7], disc[3, 7]
+
+    t_c, disc = jax.jit(guarded)(jnp.float32(ca), jnp.float32(sa),
+                                 jnp.float32(ocx), jnp.float32(ocy))
+    # plain (individually rounded) reference values
+    t_ref = np.float32(np.float32(ca * ocx) + np.float32(sa * ocy))
+    oc2 = np.float32(np.float32(ocx * ocx) + np.float32(ocy * ocy))
+    d_ref = np.float32(np.float32(t_ref * t_ref) + np.float32(r2 - oc2))
+    assert np.asarray(t_c).tobytes() == t_ref.tobytes(), (
+        "compiler contracted t_c through the _nofma guard")
+    assert np.asarray(disc).tobytes() == d_ref.tobytes()
+    assert d_ref < 0, "graze operands no longer graze (test is stale)"
