@@ -159,7 +159,8 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
                     proper_log_probs: bool = False,
                     quirk_compat: bool = False, use_pallas: bool = False,
                     compute_dtype=None, learner_slots_per_class=None,
-                    stacked: bool = False):
+                    stacked: bool = False,
+                    quirk_inloop_shift: bool = False):
     """Build the fused jitted train tick.
 
     Returns (tick, optimizer) where
@@ -181,7 +182,19 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
     elementwise so the optimizer is exact given equal grads). Requires
     learner_slots_per_class; `train_states` must be the single
     init_stacked_train_state(...) state instead of the per-species tuple.
-    """
+
+    quirk_inloop_shift=True (SPEC quirk Q8) reproduces the reference's
+    shift ORDERING: training_loop.py:135-137 calls shift_observations()
+    at the end of EVERY species iteration (before that species' action/
+    memory writes), so each species' "prev" reads are the post-shift
+    buffers. Net effect, derived in tests/test_quirks.py by sequencing the
+    real ordering: mem_prev == mem_cur for every species (each species'
+    prev-hidden rows were overwritten with its current memory by an earlier
+    shift), obs_prev == obs_cur for species 2..NS (species 1 reads the true
+    previous tick), the D9 fresh-slot loss mask is OFF (the reference
+    trains all its alive rows), and the end-of-tick prev action/hidden
+    buffers interleave: species 1..NS-1 carry their NEW writes (the last
+    shift ran after them), species NS its old ones. Loop path only."""
     optimizer = make_optimizer(lr)
     num_species = cfg.num_species
     assert len(models) == num_species
@@ -195,6 +208,11 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
         assert (Lcap is not None
                 and Lcap < cfg.max_agents // cfg.num_species), \
             "stacked tick requires learner-slot compaction (Lcap < A/NS)"
+    if quirk_inloop_shift:
+        assert not stacked and (Lcap is None
+                                or Lcap >= cfg.max_agents // cfg.num_species), \
+            "quirk_inloop_shift pins the reference ordering on the plain " \
+            "per-species loop path only"
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def tick(state: WorldState, train_states, key):
@@ -512,6 +530,25 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
                           prev_act=prev_act3[:, :, s].reshape(Nc),
                           rewards=rewards3[:, :, s].reshape(Nc))
                 dropped = jnp.int32(0)
+                if quirk_inloop_shift:
+                    # Q8: species s >= 2 read post-shift prev buffers. The
+                    # reference shift copies species/pos/health/surrounding/
+                    # reward/action/stats/hidden but NOT the sensor blocks
+                    # (sim.cpp:1001 "we still need to copy the sensor obs"),
+                    # so their obs_prev mixes PREV depth/semantic with
+                    # CURRENT health/pos/surrounding. Every species'
+                    # prev-hidden rows were already overwritten with its
+                    # current memory by an earlier shift, and the reference
+                    # trains all alive rows (no D9 masking).
+                    if s > 0:
+                        S_ = cfg.sensor_size
+                        oc, op = up["obs_cur"], up["obs_prev"]
+                        up["obs_prev"] = jnp.concatenate(
+                            [op[:, :S_], oc[:, S_:S_ + 3],
+                             op[:, S_ + 3:2 * S_ + 3],
+                             oc[:, 2 * S_ + 3:]], axis=1)
+                    up["mem_prev"] = up["mem"]
+                    loss_mask = mask
 
             ts, actions, mem, m = _species_update(
                 models[s], optimizer, train_states[s],
@@ -586,6 +623,16 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
             hidden=new_hidden.reshape(state.hidden.shape).astype(
                 state.hidden.dtype),
         )
+        if quirk_inloop_shift:
+            # Q8 end-of-tick prev buffers: the reference's LAST shift runs
+            # after species 1..NS-1 wrote their actions/memories but before
+            # species NS did, so those classes' prev rows carry the NEW
+            # values; only class NS-1 keeps the pre-update ones.
+            last = ((jnp.arange(A, dtype=jnp.int32) % NS)
+                    == NS - 1)[None, :, None]
+            state = state.replace(
+                prev_action=jnp.where(last, state.prev_action, state.action),
+                prev_hidden=jnp.where(last, state.prev_hidden, state.hidden))
         return state, tuple(new_tstates), metrics
 
     return tick, optimizer

@@ -135,3 +135,98 @@ def test_manager_q2_health_bitcast():
     mgr2.step()
     h2 = mgr2.health_tensor(False).to_numpy()
     assert h2.max() > 1.0  # real float values (e.g. 100.0)
+
+
+def test_quirk_inloop_shift_matches_sequenced_reference_ordering():
+    """Q8 (VERDICT r3 item 8): the reference calls shift_observations()
+    inside the species loop (training_loop.py:135-137), before each
+    species' action/memory writes. The quirk tick
+    (make_train_tick(quirk_inloop_shift=True)) claims a closed form of that
+    ordering; this test double-enters it by SEQUENCING the actual ordering
+    on the env API — step, then per species: obs from the current
+    (post-shift) state, update, shift, write — and pins state + params."""
+    import jax.numpy as jnp
+    from madrona_bots_tpu.env import env as env_mod
+    from madrona_bots_tpu.env.state import init_state
+    from madrona_bots_tpu.learn.a2c import (SpeciesTrainState,
+                                            _species_update,
+                                            init_train_states,
+                                            make_optimizer, make_train_tick)
+    from madrona_bots_tpu.learn.obs import construct_obs
+    from madrona_bots_tpu.models import ActorCritic, SpeciesNetGenerator
+    from madrona_bots_tpu.config import NUM_ACTIONS
+
+    cfg = EnvConfig(num_worlds=4, init_agents=8, max_agents=16)
+    NS = cfg.num_species
+    gen = SpeciesNetGenerator(cfg.obs_dim, 6, 32, cfg.hidden_state_dim,
+                              seed=3)
+    models = [ActorCritic.from_generator(gen) for _ in range(NS)]
+    optimizer = make_optimizer(1e-3)
+
+    def ref_ordered_tick(state, tstates, key):
+        """The reference's literal sequencing (training_loop.py:52-137)."""
+        state = env_mod.sensor_pass(
+            env_mod.step_systems(state, cfg, False), cfg, False)
+        W, A = state.alive.shape
+        Asub = A // NS
+        Nc = W * Asub
+        H = state.hidden.shape[-1]
+        rewards0 = state.reward          # cloned before the loop (ref :49)
+        action0 = state.action           # rows read before their write
+        new_ts = list(tstates)
+        for s in range(NS):
+            obs_cur = construct_obs(state, cfg, prev=False)
+            obs_prev = construct_obs(state, cfg, prev=True)
+            sl = lambda x: x.reshape((W, Asub, NS) + x.shape[2:])[:, :, s]
+            mask = (sl(state.alive)
+                    & (sl(state.species) == s + 1)).astype(jnp.float32)
+            mask = mask.reshape(Nc)
+            ts, actions, mem, _ = _species_update(
+                models[s], optimizer, new_ts[s],
+                sl(obs_cur).reshape(Nc, -1), sl(obs_prev).reshape(Nc, -1),
+                sl(state.hidden.reshape(W, A, H)).reshape(Nc, H),
+                sl(state.prev_hidden).reshape(Nc, H),
+                jnp.argmax(sl(action0), axis=-1).reshape(Nc),
+                sl(rewards0).reshape(Nc), mask,
+                jax.random.fold_in(key, s), 1.0, False, None,
+                loss_mask=mask)
+            new_ts[s] = ts
+            # shift FIRST, then write this species' rows (ref :135-137)
+            state = env_mod.shift_observations_impl(state, cfg)
+            onehot = (jax.nn.one_hot(actions, NUM_ACTIONS, dtype=jnp.int32)
+                      * mask[:, None].astype(jnp.int32))
+            a4 = state.action.reshape(W, Asub, NS, NUM_ACTIONS)
+            h4 = state.hidden.reshape(W, Asub, NS, H)
+            state = state.replace(
+                action=a4.at[:, :, s].set(
+                    onehot.reshape(W, Asub, NUM_ACTIONS)).reshape(
+                        W, A, NUM_ACTIONS),
+                hidden=h4.at[:, :, s].set(
+                    (mem * mask[:, None]).reshape(W, Asub, H)).reshape(
+                        state.hidden.shape))
+        return state, tuple(new_ts)
+
+    tick, _ = make_train_tick(models, cfg, lr=1e-3, use_pallas=False,
+                              quirk_inloop_shift=True)
+    ts_q = init_train_states(models, jax.random.key(1), optimizer)
+    ts_r = init_train_states(models, jax.random.key(1), optimizer)
+    st_q = init_state(jax.random.key(0), cfg)
+    st_r = init_state(jax.random.key(0), cfg)
+    ref_jit = jax.jit(ref_ordered_tick)
+    key = jax.random.key(11)
+    for t in range(3):
+        k = jax.random.fold_in(key, t)
+        st_q, ts_q, _ = tick(st_q, ts_q, k)
+        st_r, ts_r = ref_jit(st_r, ts_r, k)
+        for f in ("alive", "species", "health", "action", "prev_action",
+                  "stats", "finder"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(st_q, f)), np.asarray(getattr(st_r, f)),
+                err_msg=f"tick {t} field {f}")
+        for f in ("hidden", "prev_hidden", "pos", "reward"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(st_q, f)), np.asarray(getattr(st_r, f)),
+                rtol=0, atol=1e-5, err_msg=f"tick {t} field {f}")
+    for a, b in zip(jax.tree.leaves(tuple(ts_q)), jax.tree.leaves(tuple(ts_r))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-5)
