@@ -169,11 +169,15 @@ def bench_ppo(num_worlds=8192, max_agents=128, iters=2, warmup=1,
     # padded class slots are alive; the per-group one-hot compaction cuts
     # update rows ~2-2.7x with a dropped-row counter guarding correctness.
     slots = int(os.environ.get("BENCH_PPO_SLOTS", "12")) or None
-    # Species-stacked rollout forwards + update phase (BENCH_STACKED=0
-    # opts out): one batched program instead of 4 sequential per-species
-    # ones (learn/ppo.py stacked=True).
+    # Species-stacked PPO (BENCH_PPO_STACKED=1 opts in) is built and exact
+    # (tests/test_stacked_ppo.py) but measured SLOWER than the loop at
+    # 8192w on v5e — stage bisect: rollout 490 vs 348 ms (species-major
+    # transposes of ~150 MB activations/step), update 338 vs 207 ms (the
+    # minibatch updates are activation-HBM-bound, so cutting op count via
+    # stacking buys nothing while the stack-of-slices adds copies).
+    # Default stays the per-species loop; see BASELINE.md r4 notes.
     stacked = (slots is not None
-               and os.environ.get("BENCH_STACKED", "1") == "1")
+               and os.environ.get("BENCH_PPO_STACKED", "0") == "1")
     it, opt = make_ppo_trainer(models, cfg, rollout_len=rollout_len,
                                use_pallas=use_pallas,
                                compute_dtype=compute_dtype,
@@ -195,7 +199,7 @@ def bench_ppo(num_worlds=8192, max_agents=128, iters=2, warmup=1,
                                jax.random.fold_in(key, warmup + i))
     float(jax.device_get(_checksum(state)))
     dt = time.perf_counter() - t0
-    if slots is not None:
+    if slots is not None and "species_1_dropped_rows" in m:
         dropped = sum(float(m[f"species_{i}_dropped_rows"])
                       for i in range(1, cfg.num_species + 1))
         total = rollout_len * num_worlds * (max_agents // cfg.num_species)
