@@ -72,6 +72,14 @@ def _lane_prefix_or_excl(x: jax.Array, A: int) -> jax.Array:
     return y
 
 
+# NOTE (r4): a log-rotate "pull gather" (rotate-and-select over the bits of
+# each lane's offset) is NOT a valid dynamic gather — after the first stage
+# the value a lane pulls was built using the SOURCE lane's offset bits, not
+# the destination's, so the composition only holds when idx = lane + const.
+# Measured-wrong here (births flipped to respawns); keep the one-hot trip
+# loops / bit-packed words for all dynamic-index movement in this kernel.
+
+
 def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
             posy_ref, speedq_ref, cidx_ref, cell_ref, food_ref, drawx_ref,
             drawy_ref,
@@ -177,9 +185,9 @@ def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
             jnp.concatenate([enc_lo, enc_hi], axis=0), A)
         pre_lo = pre2[:wb]
         pre_hi = pre2[wb:]
-        taken_before = jnp.where(
-            in_lo, jnp.right_shift(pre_lo, sh_lo),
-            jnp.right_shift(pre_hi, sh_hi)) & 1
+        # Bit-AND against the precomputed chunk bit instead of a per-lane
+        # variable right shift (the shift re-derives the same mask).
+        taken_before = (pre_lo & bit_lo) | (pre_hi & bit_hi)
         is_winner = contend & (taken_before == 0)
         eaten = eaten | is_winner.astype(i32)
         win2 = jnp.concatenate([jnp.where(is_winner, enc_lo, 0),
@@ -222,15 +230,17 @@ def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
     cs_free = _lane_cumsum(free << (8 * cls), A)
     free_rank = ((cs_free >> (8 * cls)) & 255) - 1
     num_free = (_col(cs_free, A - 1) >> (8 * cls)) & 255  # class total
-    want_rank = ((_lane_cumsum(breeder << (8 * cls), A) >> (8 * cls)) & 255) - 1
+    cs_want = _lane_cumsum(breeder << (8 * cls), A)
+    want_rank = ((cs_want >> (8 * cls)) & 255) - 1
+    breed_cnt = (_col(cs_want, A - 1) >> (8 * cls)) & 255
     granted = (breeder > 0) & (want_rank < num_free)
 
     # Match r-th granted breeder of class c -> r-th free slot of class c.
     # `born` needs no matching loop: granted breeders of a class hold the
     # CONSECUTIVE want-ranks 0..grant_cnt-1 (granted = breeder rank <
-    # num_free), so the r-th free slot is claimed iff r < grant_cnt.
-    grant_cnt_cs = _lane_cumsum(granted.astype(i32) << (8 * cls), A)
-    grant_cnt = (_col(grant_cnt_cs, A - 1) >> (8 * cls)) & 255
+    # num_free), so grant_cnt = min(#breeders, #free) with no third cumsum,
+    # and the r-th free slot is claimed iff r < grant_cnt.
+    grant_cnt = jnp.minimum(breed_cnt, num_free)
     born = ((free > 0) & (free_rank < grant_cnt)).astype(i32)
     keyq_parent = jnp.where(granted, cls + NS * want_rank, -1)
     keyq_slot = jnp.where(born > 0, cls + NS * free_rank, -2)
@@ -304,8 +314,10 @@ def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
     hsum_ref[...] = jnp.concatenate(hsum_cols, axis=1)
 
     # ---- respawn claims: top class s up to respawn_floor agents ----
+    # Births claim exactly the first grant_cnt free slots per class, so
+    # the surviving free slots' ranks just shift down — no fourth cumsum.
     free2 = free * (1 - born)
-    free2_rank = ((_lane_cumsum(free2 << (8 * cls), A) >> (8 * cls)) & 255) - 1
+    free2_rank = free_rank - grant_cnt
     needed = jnp.zeros((wb, A), i32)
     for s in range(NS):
         needed = jnp.where(cls == s,
