@@ -111,10 +111,13 @@ def bench_train(num_worlds=8192, max_agents=128, iters=2, warmup=1,
     # one-hot gather feeds only ~alive rows to the 4 nets — the same
     # alive-only batch the reference's species sort produces.
     slots = int(os.environ.get("BENCH_A2C_SLOTS", "12")) or None
-    # Species-stacked batched update (BENCH_STACKED=0 opts out): one set of
-    # batched-matmul ops covers all 4 species (models/stacked.py).
+    # Species-stacked batched update (BENCH_STACKED=1 opts in,
+    # models/stacked.py). r4 A/B on identical conditions: loop 293k vs
+    # stacked 236k env-steps/s at 8192w — the r3 stacked win does not
+    # reproduce on current code (the r3 number was never HW-recorded,
+    # VERDICT r3 item 4), so the per-species loop is the default.
     stacked = (slots is not None
-               and os.environ.get("BENCH_STACKED", "1") == "1")
+               and os.environ.get("BENCH_STACKED", "0") == "1")
     tick, opt = make_train_tick(models, cfg, use_pallas=use_pallas,
                                 compute_dtype=compute_dtype,
                                 learner_slots_per_class=slots,

@@ -445,12 +445,17 @@ def make_train_tick(models: Sequence[ActorCritic], cfg: EnvConfig,
             # f32 rewards/health payloads would ride TPU's default bf16
             # matmul path and silently diverge from the loop path's exact
             # sums (the CLAUDE.md precision hazard; CPU tests can't see it).
-            msp_was = m.reshape(NS, W, Asub).astype(f32).transpose(1, 2, 0)
+            # Masking in the native [W, A] slot layout (m_full) avoids any
+            # class-major transpose — the per-species split is the free
+            # strided reshape (D2b).
+            mf = m_full.astype(f32)                         # [W, A]
             count_s = m_sums.astype(f32)
             denom_c = jnp.maximum(count_s, 1.0)
-            rew_full = jnp.sum(rewards3 * msp_was, axis=(0, 1))
-            health3 = state.health.reshape(W, Asub, NS).astype(f32)
-            avg_health = jnp.sum(health3 * msp_was, axis=(0, 1)) / denom_c
+            rew_full = jnp.sum((state.reward * mf).reshape(W, Asub, NS),
+                               axis=(0, 1))
+            avg_health = jnp.sum(
+                (state.health.astype(f32) * mf).reshape(W, Asub, NS),
+                axis=(0, 1)) / denom_c
             hist = jnp.einsum("sbk,sb->sk", oh_act.astype(f32), vmask)
             per_species = {
                 "actor_loss": actor_s,
