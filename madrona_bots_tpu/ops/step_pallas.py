@@ -78,6 +78,64 @@ def _lane_prefix_or_excl(x: jax.Array, A: int) -> jax.Array:
 # the destination's, so the composition only holds when idx = lane + const.
 # Measured-wrong here (births flipped to respawns); keep the one-hot trip
 # loops / bit-packed words for all dynamic-index movement in this kernel.
+#
+# Sublane stacking (r5). Two flavors, with OPPOSITE measured outcomes:
+#
+# * Stacking DISTINCT data on the sublane axis (the 4 surrounding corners,
+#   the 2 food channels, x/y payload pairs) removes redundant compares /
+#   selects at zero extra element work — always-on below.
+# * Roll-stacking COPIES of one array (to fold S source lanes per trip,
+#   _roll_stack) keeps element work constant but pays S-1 rolls + concat
+#   copies per array; measured WORSE at every (wb, S) tried on v5e
+#   (artifacts/stacksweep.py: wb=128 S=1 4.23 ms vs S=2 4.56, S=4 4.74;
+#   wb=32 S=4 5.06 vs S=1 4.72) — Mosaic's per-op issue overhead at
+#   [128, 128] ops is ~25% of op cost, not the dominant term. The factors
+#   therefore DEFAULT TO 1; the machinery stays for sweeps on other
+#   geometries (smaller wb on future hardware may flip the trade).
+DMG_STACK = 1
+BIRTH_STACK = 1
+RESP_STACK = 1
+FOOD_STACK = 1
+TAL_STACK = 1
+SURR_STACK = 1
+
+
+def _div_stack(n: int, cap: int) -> int:
+    """Largest power of two <= cap that divides n."""
+    s = 1
+    while s * 2 <= cap and n % (s * 2) == 0:
+        s *= 2
+    return s
+
+
+def _roll_stack(x: jax.Array, S: int, step: int) -> jax.Array:
+    """[wb, L] -> [S*wb, L']; row-block j is x rolled left by j*step lanes,
+    so _col(out, a) reads x[:, a + j*step] in block j (valid for
+    a + j*step < L; lanes past L are padding garbage).
+
+    Lane widths that are not a multiple of the 128-lane vreg are padded
+    first: Mosaic represents rolls of narrower arrays as lazy lane-offset
+    layouts that tpu.concatenate cannot merge ("result/input offset
+    mismatch on non-concat dimension"); at >= one full vreg the roll is a
+    real lane rotate. The pad costs nothing — a [wb, 48] op already
+    occupies full 128-lane vregs."""
+    L = x.shape[1]
+    Lp = -(-L // 128) * 128
+    if Lp != L:
+        x = jnp.concatenate(
+            [x, jnp.zeros((x.shape[0], Lp - L), x.dtype)], axis=1)
+    return jnp.concatenate(
+        [x if j == 0 else pltpu.roll(x, -(j * step) % Lp, 1)
+         for j in range(S)], axis=0)
+
+
+def _fold_blocks(x: jax.Array, S: int, wb: int) -> jax.Array:
+    """Sum the S row-blocks of [S*wb, L] back to [wb, L] (exact: at most one
+    block holds a non-zero per element)."""
+    y = x[:wb]
+    for j in range(1, S):
+        y = y + x[j * wb:(j + 1) * wb]
+    return y
 
 
 def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
@@ -87,7 +145,12 @@ def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
             bposx_ref, bposy_ref, resp_ref,
             rposx_ref, rposy_ref, surrp_ref, surrm_ref, counts_ref,
             hsum_ref, consumed_ref, *, cfg: EnvConfig,
-            ablate: frozenset = frozenset()):
+            ablate: frozenset = frozenset(),
+            stacks: tuple | None = None):
+    sdmg, sbirth, sresp, sfood, stal, ssurr = (
+        stacks if stacks is not None else
+        (DMG_STACK, BIRTH_STACK, RESP_STACK, FOOD_STACK, TAL_STACK,
+         SURR_STACK))
     wb, A = flags_ref.shape
     C = cfg.num_chunks
     P = cfg.max_food_packages
@@ -133,35 +196,66 @@ def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
 
     # ---- damage histogram: dmg[w, t] = sum_a valid_shot[a]*(finder[a]==t).
     # Pre-masking the index (miss -> -1) drops the per-lane payload
-    # broadcast: each trip is one lane extract + compare + add. ----
+    # broadcast: each trip is one lane extract + compare + add, and the
+    # roll-stack folds S shooters into each trip. ----
     finder_eff = jnp.where(valid_shot > 0, finder, -1)
-    dmg = jnp.zeros((wb, A), i32)
     if "dmg" not in ablate:
-        for a in range(A):
-            dmg = dmg + (lane == _col(finder_eff, a)).astype(i32)
+        S = _div_stack(A, sdmg)
+        fe_s = _roll_stack(finder_eff, S, A // S)         # [S*wb, A]
+        lane_s = jax.lax.broadcasted_iota(i32, (S * wb, A), 1)
+        acc = jnp.zeros((S * wb, A), i32)
+        for a in range(A // S):
+            acc = acc + (lane_s == _col(fe_s, a)).astype(i32)
+        dmg = _fold_blocks(acc, S, wb)
+    else:
+        dmg = jnp.zeros((wb, A), i32)
     dmg_ref[...] = dmg
 
     health1 = health0 - jnp.where(alive0 > 0, cfg.shoot_damage * dmg, 0)
 
     # ---- per-agent food-package payload gather (chunk-indexed) ----
     # food_ref: [wb, 2, C]; channel 0 packs packages 0-2 (10 bits each:
-    # has + 2*(cellx + chunk_width*celly)), channel 1 packs packages 3-4.
+    # has + 2*(cellx + chunk_width*celly)), channel 1 packs packages 3-4
+    # plus the 2-bit eat cell-ranks (bits [20+2p, 22+2p)). Both channels and
+    # Sf chunk rolls stack on the sublane axis: one compare+select per trip
+    # covers 2*Sf (channel, chunk) pairs.
     food = food_ref[...]                                  # [wb, 2, C]
-    g012 = jnp.zeros((wb, A), i32)
-    g34 = jnp.zeros((wb, A), i32)
-    for c in range(C):
-        m = cidx == c
-        g012 = jnp.where(m, _col(food[:, 0, :], c), g012)
-        g34 = jnp.where(m, _col(food[:, 1, :], c), g34)
+    Sf = _div_stack(C, sfood)
+    Tf = C // Sf
+    f2 = jnp.concatenate([food[:, 0, :], food[:, 1, :]], axis=0)  # [2wb, C]
+    f_s = _roll_stack(f2, Sf, Tf)                         # [Sf*2wb, C]
+    cidx_f = (jnp.concatenate([cidx] * (2 * Sf), axis=0)
+              - (jax.lax.broadcasted_iota(i32, (2 * Sf * wb, A), 0)
+                 // (2 * wb)) * Tf)
+    g_s = jnp.zeros((2 * Sf * wb, A), i32)
+    for c in range(Tf):
+        g_s = jnp.where(cidx_f == c, _col(f_s, c), g_s)
+    g012 = g_s[:wb]
+    g34 = g_s[wb:2 * wb]
+    for j in range(1, Sf):
+        g012 = g012 + g_s[2 * j * wb:(2 * j + 1) * wb]
+        g34 = g34 + g_s[(2 * j + 1) * wb:(2 * j + 2) * wb]
     gath = [(g012 >> (10 * p)) & 1023 for p in range(min(P, 3))]
     gath += [(g34 >> (10 * (p - 3))) & 1023 for p in range(3, P)]
 
     # ---- eat: packages in order, lowest slot wins per chunk ----
     # "Lowest contender slot wins" == "first contender along the lane scan
-    # wins": one exclusive prefix-OR over chunk-bit-packed contender masks
+    # wins": an exclusive prefix-OR over chunk-bit-packed contender masks
     # replaces the per-chunk min reductions (carry-free — each chunk is one
     # bit; winners are unique per chunk so a lane SUM of winner bits is
     # exactly the consumed-bit OR).
+    #
+    # Packages only interact when they sit on the SAME (chunk, cell): an
+    # agent contends exactly for the packages at its own cell, so the
+    # sequential `eaten` feedback between package passes only bites between
+    # co-celled packages. rank_p — the count of earlier present packages at
+    # package p's cell, packed XLA-side as 2 saturated bits in food channel
+    # 1 bits [20+2p, 22+2p) — therefore partitions the packages into
+    # non-interacting waves: every rank-0 package resolves in ONE fused
+    # [2P*wb, A] prefix pass, every rank-1 package in a second (gated on
+    # the rank-0 eaten set), and the rare rank>=2 tail (3+ packages stacked
+    # on one cell anywhere in the block) falls back to the sequential
+    # per-package passes under pl.when.
     cell = cell_ref[...]                                  # cellx + cw*celly
     in_lo = cidx < 32
     sh_lo = jnp.clip(cidx, 0, 31)
@@ -170,34 +264,73 @@ def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
     bit_hi = jnp.where(~in_lo & (cidx >= 0),
                        jnp.left_shift(jnp.int32(1), sh_hi), 0)
     eaten = jnp.zeros((wb, A), i32)
-    consumed = []                                         # [wb, 2] per pkg
-    for p in range(P) if "eat" not in ablate else ():
-        has_p = gath[p] & 1
-        cell_p = gath[p] >> 1
-        contend = ((alive0 > 0) & (has_p > 0) & (eaten == 0)
-                   & (cell == cell_p))
-        # lo/hi chunk words ride ONE [2*wb, A] prefix pass (stacked on the
-        # sublane axis): halves the op count of the dominant prefix-OR
-        # chain — bit-identical, the rows are independent.
-        enc_lo = jnp.where(contend, bit_lo, 0)
-        enc_hi = jnp.where(contend, bit_hi, 0)
-        pre2 = _lane_prefix_or_excl(
-            jnp.concatenate([enc_lo, enc_hi], axis=0), A)
-        pre_lo = pre2[:wb]
-        pre_hi = pre2[wb:]
-        # Bit-AND against the precomputed chunk bit instead of a per-lane
-        # variable right shift (the shift re-derives the same mask).
-        taken_before = (pre_lo & bit_lo) | (pre_hi & bit_hi)
-        is_winner = contend & (taken_before == 0)
-        eaten = eaten | is_winner.astype(i32)
-        win2 = jnp.concatenate([jnp.where(is_winner, enc_lo, 0),
-                                jnp.where(is_winner, enc_hi, 0)], axis=0)
-        csum = jnp.sum(win2, axis=1, keepdims=True)       # [2*wb, 1]
-        consumed.append(jnp.concatenate([csum[:wb], csum[wb:]], axis=1))
-    if "eat" in ablate:
-        consumed = [jnp.zeros((wb, 2), i32) for _ in range(P)]
-    consumed_ref[...] = jnp.stack(consumed, axis=1)       # [wb, P, 2]
-    eaten_ref[...] = eaten
+    if "eat" not in ablate:
+        rankp = [(g34 >> (20 + 2 * p)) & 3 for p in range(P)]
+        cand = [(alive0 > 0) & ((gath[p] & 1) > 0) & (cell == (gath[p] >> 1))
+                for p in range(P)]
+        wins = [None] * P
+        for r in (0, 1):
+            rows = []
+            conds = []
+            for p in range(P):
+                c_p = cand[p] & (rankp[p] == r)
+                if r > 0:
+                    c_p = c_p & (eaten == 0)
+                conds.append(c_p)
+                rows.append(jnp.where(c_p, bit_lo, 0))
+                rows.append(jnp.where(c_p, bit_hi, 0))
+            pre = _lane_prefix_or_excl(jnp.concatenate(rows, axis=0), A)
+            new_eat = jnp.zeros((wb, A), i32)
+            for p in range(P):
+                pre_lo = pre[2 * p * wb:(2 * p + 1) * wb]
+                pre_hi = pre[(2 * p + 1) * wb:(2 * p + 2) * wb]
+                # Bit-AND against the precomputed chunk bit instead of a
+                # per-lane variable right shift.
+                taken_before = (pre_lo & bit_lo) | (pre_hi & bit_hi)
+                w_p = conds[p] & (taken_before == 0)
+                wins[p] = w_p if r == 0 else (wins[p] | w_p)
+                new_eat = new_eat | w_p.astype(i32)
+            eaten = eaten | new_eat
+        consumed = [
+            jnp.concatenate(
+                [jnp.sum(jnp.where(wins[p], bit_lo, 0), axis=1,
+                         keepdims=True),
+                 jnp.sum(jnp.where(wins[p], bit_hi, 0), axis=1,
+                         keepdims=True)], axis=1)
+            for p in range(P)]
+        eaten_ref[...] = eaten
+        consumed_ref[...] = jnp.stack(consumed, axis=1)   # [wb, P, 2]
+
+        tail = cand[0] & (rankp[0] >= 2)
+        for p in range(1, P):
+            tail = tail | (cand[p] & (rankp[p] >= 2))
+
+        @pl.when(jnp.any(tail))
+        def _rank2_tail():
+            eaten_f = eaten_ref[...]
+            cons = consumed_ref[...]
+            adds = []
+            for p in range(P):
+                contend = cand[p] & (rankp[p] >= 2) & (eaten_f == 0)
+                enc_lo = jnp.where(contend, bit_lo, 0)
+                enc_hi = jnp.where(contend, bit_hi, 0)
+                pre2 = _lane_prefix_or_excl(
+                    jnp.concatenate([enc_lo, enc_hi], axis=0), A)
+                taken = (pre2[:wb] & bit_lo) | (pre2[wb:] & bit_hi)
+                isw = contend & (taken == 0)
+                eaten_f = eaten_f | isw.astype(i32)
+                adds.append(jnp.concatenate(
+                    [jnp.sum(jnp.where(isw, enc_lo, 0), axis=1,
+                             keepdims=True),
+                     jnp.sum(jnp.where(isw, enc_hi, 0), axis=1,
+                             keepdims=True)], axis=1))
+            eaten_ref[...] = eaten_f
+            consumed_ref[...] = cons | jnp.stack(adds, axis=1)
+
+        eaten = eaten_ref[...]
+    else:
+        eaten_ref[...] = eaten
+        consumed_ref[...] = jnp.zeros((wb, P, 2), i32)
 
     health2 = health1 + cfg.eat_health * eaten
 
@@ -215,13 +348,21 @@ def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
     #      sim.cpp:488-502). Packed count + 512*speed (count <= A <= 256). --
     speedq = speedq_ref[...]
     enc_tally = jnp.where(alive0 > 0, 1 + 512 * speedq, 0)
-    tallies = []                                          # [wb, 1] per chunk
-    for c in range(C):
-        if "tallies" in ablate:
-            tallies.append(jnp.zeros((wb, 1), i32))
-        else:
-            tallies.append(jnp.sum(jnp.where(cidx == c, enc_tally, 0),
-                                   axis=1, keepdims=True))
+    if "tallies" not in ablate:
+        St = _div_stack(C, stal)
+        Tt = C // St
+        enc_s = jnp.concatenate([enc_tally] * St, axis=0)  # [St*wb, A]
+        cidx_t = (jnp.concatenate([cidx] * St, axis=0)
+                  - (jax.lax.broadcasted_iota(i32, (St * wb, A), 0)
+                     // wb) * Tt)
+        tal_cols = [jnp.sum(jnp.where(cidx_t == c, enc_s, 0),
+                            axis=1, keepdims=True)         # [St*wb, 1]
+                    for c in range(Tt)]
+        tal_stack = jnp.concatenate(tal_cols, axis=1)      # [St*wb, Tt]
+        tal = jnp.concatenate([tal_stack[j * wb:(j + 1) * wb]
+                               for j in range(St)], axis=1)  # [wb, C]
+    else:
+        tal = jnp.zeros((wb, C), i32)
 
     # ---- birth slot claims (class-partitioned, SPEC D2b) ----
     # Byte-packed per-class lane cumsums: rank of slot i among same-class
@@ -246,13 +387,26 @@ def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
     keyq_slot = jnp.where(born > 0, cls + NS * free_rank, -2)
     posx = posx_ref[...]
     posy = posy_ref[...]
-    bposx = jnp.zeros((wb, A), f32)
-    bposy = jnp.zeros((wb, A), f32)
-    for a in range(A) if "birth" not in ablate else ():
-        m = keyq_slot == _col(keyq_parent, a)
-        bposx = jnp.where(m, _col(posx, a), bposx)
-        bposy = jnp.where(m, _col(posy, a), bposy)
-    if "birth" in ablate:
+    if "birth" not in ablate:
+        Sb = _div_stack(A, sbirth)
+        Tb = A // Sb
+        kp_s = _roll_stack(keyq_parent, Sb, Tb)           # [Sb*wb, A]
+        ks_s = jnp.concatenate([keyq_slot] * Sb, axis=0)
+        # x/y ride one sublane-stacked payload: one compare + one select
+        # per trip moves both coordinates (distinct data — free stacking).
+        kp2 = jnp.concatenate([kp_s, kp_s], axis=0)       # [2Sb*wb, A]
+        ks2 = jnp.concatenate([ks_s, ks_s], axis=0)
+        pxy = jnp.concatenate([_roll_stack(posx, Sb, Tb),
+                               _roll_stack(posy, Sb, Tb)], axis=0)
+        bxy = jnp.zeros((2 * Sb * wb, A), f32)
+        for a in range(Tb):
+            m = ks2 == _col(kp2, a)
+            bxy = jnp.where(m, _col(pxy, a), bxy)
+        bposx = _fold_blocks(bxy[:Sb * wb], Sb, wb)
+        bposy = _fold_blocks(bxy[Sb * wb:], Sb, wb)
+    else:
+        bposx = jnp.zeros((wb, A), f32)
+        bposy = jnp.zeros((wb, A), f32)
         born = jnp.zeros((wb, A), i32)
     born_ref[...] = born
     bposx_ref[...] = bposx
@@ -282,11 +436,28 @@ def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
         ok = ((cx >= 0) & (cy >= 0)
               & (cx < cfg.num_chunks_x) & (cy < cfg.num_chunks_y))
         corners.append(jnp.where(ok, cx + cy * cfg.num_chunks_x, -1))
-    cg = [jnp.zeros((wb, A), i32) for _ in range(4)]
-    for c in range(C) if "surr" not in ablate else ():
-        t_c = tallies[c]
+    if "surr" not in ablate:
+        Ss = _div_stack(C, ssurr)
+        Ts = C // Ss
+        # Row order: roll-block-major, corner-minor — [4*Ss*wb, ...].
+        t_roll = _roll_stack(tal, Ss, Ts)                  # [Ss*wb, Cpad]
+        t_rows = jnp.concatenate(
+            [t_roll[j * wb:(j + 1) * wb] for j in range(Ss)
+             for _ in range(4)], axis=0)                   # [4Ss*wb, Cpad]
+        crn_s = (jnp.concatenate(corners * Ss, axis=0)
+                 - (jax.lax.broadcasted_iota(i32, (4 * Ss * wb, A), 0)
+                    // (4 * wb)) * Ts)
+        cg_s = jnp.zeros((4 * Ss * wb, A), i32)
+        for c in range(Ts):
+            cg_s = jnp.where(crn_s == c, _col(t_rows, c), cg_s)
+        cg = []
         for k in range(4):
-            cg[k] = jnp.where(corners[k] == c, t_c, cg[k])
+            acc = cg_s[k * wb:(k + 1) * wb]
+            for j in range(1, Ss):
+                acc = acc + cg_s[(4 * j + k) * wb:(4 * j + k + 1) * wb]
+            cg.append(acc)
+    else:
+        cg = [jnp.zeros((wb, A), i32) for _ in range(4)]
     na = [(x & 511).astype(f32) for x in cg]
     ts_ = [(x >> 9).astype(f32) for x in cg]
     one = f32(1.0)
@@ -329,23 +500,37 @@ def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
     drawx = drawx_ref[...]                                # [wb, NS*FL]
     drawy = drawy_ref[...]
     dkey = jnp.where(respawned, cls * FL + free2_rank, -1)
-    rposx = jnp.zeros((wb, A), f32)
-    rposy = jnp.zeros((wb, A), f32)
-    for k in range(NS * FL) if "respawn" not in ablate else ():
-        m = dkey == k
-        rposx = jnp.where(m, _col(drawx, k), rposx)
-        rposy = jnp.where(m, _col(drawy, k), rposy)
+    if "respawn" not in ablate:
+        K = NS * FL
+        Sr = _div_stack(K, sresp)
+        Tr = K // Sr
+        dkey_s = (jnp.concatenate([dkey] * Sr, axis=0)
+                  - (jax.lax.broadcasted_iota(i32, (Sr * wb, A), 0)
+                     // wb) * Tr)
+        # x/y pair-stacked like the birth gather.
+        dkey2 = jnp.concatenate([dkey_s, dkey_s], axis=0)  # [2Sr*wb, A]
+        dxy = jnp.concatenate([_roll_stack(drawx, Sr, Tr),
+                               _roll_stack(drawy, Sr, Tr)], axis=0)
+        rxy = jnp.zeros((2 * Sr * wb, A), f32)
+        for k in range(Tr):
+            rxy = jnp.where(dkey2 == k, _col(dxy, k), rxy)
+        rposx = _fold_blocks(rxy[:Sr * wb], Sr, wb)
+        rposy = _fold_blocks(rxy[Sr * wb:], Sr, wb)
+    else:
+        rposx = jnp.zeros((wb, A), f32)
+        rposy = jnp.zeros((wb, A), f32)
     rposx_ref[...] = rposx
     rposy_ref[...] = rposy
 
 
 @partial(jax.jit, static_argnames=("cfg", "worlds_per_block", "interpret",
-                                  "ablate"))
+                                  "ablate", "stacks"))
 def systems_pallas(flags, species, finder, health, posx, posy, speedq, cidx,
                    cell, food_packed, drawx, drawy,
                    cfg: EnvConfig, worlds_per_block: int = 128,
                    interpret: bool = False,
-                   ablate: frozenset = frozenset()):
+                   ablate: frozenset = frozenset(),
+                   stacks: tuple | None = None):
     """Run the fused systems kernel; see _kernel for per-ref semantics.
 
     ablate: MEASUREMENT-ONLY static switch (artifacts/kernelprof.py)
@@ -356,7 +541,8 @@ def systems_pallas(flags, species, finder, health, posx, posy, speedq, cidx,
     C, P, NS = cfg.num_chunks, cfg.max_food_packages, cfg.num_species
     assert NS <= 4 and A // NS < 256, "byte-packed rank cumsum bounds"
     assert C <= 64, "2x32 chunk-bit packing bound"
-    assert P <= 6, "food packages pack 3 + 3 into two 30-bit channels"
+    assert P <= 5, ("food packages pack 3 + 2 ten-bit payloads plus P 2-bit "
+                    "cell-ranks into two 30-bit channels")
     assert 2 * cfg.chunk_width * cfg.chunk_width + 1 < 1024, \
         "food cell id must fit 10 bits"
     wb = min(worlds_per_block, W)
@@ -388,7 +574,7 @@ def systems_pallas(flags, species, finder, health, posx, posy, speedq, cidx,
     params = (None if interpret else
               pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024))
     return pl.pallas_call(
-        partial(_kernel, cfg=cfg, ablate=ablate),
+        partial(_kernel, cfg=cfg, ablate=ablate, stacks=stacks),
         grid=(W // wb,),
         in_specs=[sA] * 9 + [sFC, sD, sD],
         out_specs=out_specs,
@@ -458,6 +644,16 @@ def fused_step_systems(state, cfg: EnvConfig, interpret: bool = False):
     ch1 = sum(pkg10[:, :, p] << (10 * (p - 3)) for p in range(3, P))
     if not isinstance(ch1, jax.Array):                    # P <= 3
         ch1 = jnp.zeros_like(ch0)
+    # Per-package cell-rank (2 saturated bits at ch1 bits [20+2p, 22+2p)):
+    # how many earlier PRESENT packages share package p's cell in this
+    # chunk. The kernel resolves rank-0/1 packages in two fused prefix
+    # passes and only the rank>=2 tail sequentially (see _kernel).
+    has = food_count > 0                                  # [W, C, P]
+    cellid = food_cell[..., 0] + cw * food_cell[..., 1]
+    for p in range(1, P):
+        rank_p = sum((has[..., q] & (cellid[..., q] == cellid[..., p]))
+                     .astype(i32) for q in range(p))
+        ch1 = ch1 + (jnp.minimum(rank_p, 3) << (20 + 2 * p))
     food_packed = jnp.stack([ch0, ch1], axis=1)           # [W, 2, C]
 
     draws = systems.respawn_draws(state.world_keys, t, cfg)  # [W, NS, FL, 2]

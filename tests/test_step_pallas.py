@@ -90,6 +90,39 @@ def test_fused_odd_shapes():
         assert_state_match(s_ref, s_k, f"odd step {t}")
 
 
+def test_fused_stacked_packages():
+    """3+ present packages on ONE cell force the kernel's rank>=2 eat tail.
+
+    The fused eat resolves rank-0/1 packages in two batched prefix passes;
+    packages stacked deeper on a single (chunk, cell) take the sequential
+    pl.when fallback. Park every agent on the stacked cell so each package
+    has contenders and the tail must produce real winners.
+    """
+    cfg = EnvConfig(num_worlds=2, init_agents=16, max_agents=32)
+    s = init_state(jax.random.key(5), cfg)
+    fc = np.asarray(s.food_count).copy()
+    fcell = np.asarray(s.food_cell).copy()
+    fc[:] = 0
+    fcell[:] = 0
+    fc[0, 0, :4] = 1            # world 0: 4 packages on chunk 0 cell (0, 0)
+    fcell[0, 0, :4] = (0, 0)
+    fc[1, 1, :5] = 1            # world 1: all 5 on chunk 1 cell (3, 2)
+    fcell[1, 1, :5] = (3, 2)
+    pos = np.zeros_like(np.asarray(s.pos))
+    pos[0, :, :] = (0.5, 0.5)           # chunk 0, cell (0, 0)
+    pos[1, :, :] = (19.5, 2.5)          # chunk 1 (x=1), cell (3, 2)
+    s = s.replace(food_count=jnp.array(fc), food_cell=jnp.array(fcell),
+                  num_food=jnp.array(fc.sum(axis=(1, 2)), dtype=jnp.int32),
+                  pos=jnp.array(pos),
+                  action=jnp.zeros_like(s.action))
+    s_ref = step_systems(s, cfg)
+    s_k = fused_step_systems(jax.tree.map(jnp.copy, s), cfg, interpret=True)
+    assert_state_match(s_ref, s_k, "stacked packages")
+    # The stacked packages must actually be eaten (winners from the tail).
+    eaten = np.asarray(s_k.stats)[..., 2].sum(axis=1)
+    assert eaten[0] >= 4 and eaten[1] >= 5, eaten
+
+
 def test_fused_two_species():
     cfg = EnvConfig(num_worlds=2, init_agents=12, max_agents=24, num_species=2)
     key = jax.random.key(21)
