@@ -68,21 +68,25 @@ def main():
         finally:
             step_pallas.systems_pallas = orig
 
-    # (dmg, birth, resp, food, tal, surr)
+    # (dmg, birth, resp, food, tal, surr); CLI combos: "wb:d,b,r,f,t,s"
     ONE = (1, 1, 1, 1, 1, 1)
-    combos = [
-        (128, ONE), (64, ONE), (32, ONE),
-        (16, (8, 8, 8, 4, 4, 4)),
-        (16, (16, 16, 8, 8, 8, 8)),
-        (32, (8, 8, 8, 4, 4, 4)),
-        (32, (4, 4, 4, 2, 2, 2)),
-        (64, (4, 4, 4, 2, 2, 2)),
-        (64, (2, 2, 2, 2, 2, 2)),
-        (128, (2, 2, 2, 2, 2, 2)),
-        (128, (4, 2, 2, 2, 2, 2)),
-    ]
-    if len(sys.argv) > 1 and sys.argv[1] == "quick":
-        combos = combos[:6]
+    if len(sys.argv) > 1:
+        combos = []
+        for arg in sys.argv[1:]:
+            wb, st = arg.split(":")
+            combos.append((int(wb), tuple(int(x) for x in st.split(","))))
+    else:
+        combos = [
+            (128, ONE), (64, ONE), (32, ONE),
+            (16, (8, 8, 8, 4, 4, 4)),
+            (16, (16, 16, 8, 8, 8, 8)),
+            (32, (8, 8, 8, 4, 4, 4)),
+            (32, (4, 4, 4, 2, 2, 2)),
+            (64, (4, 4, 4, 2, 2, 2)),
+            (64, (2, 2, 2, 2, 2, 2)),
+            (128, (2, 2, 2, 2, 2, 2)),
+            (128, (4, 2, 2, 2, 2, 2)),
+        ]
     for wb, st in combos:
         scan_time(f"wb={wb} stacks={st}", wb, st)
 

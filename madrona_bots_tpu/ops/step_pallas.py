@@ -91,12 +91,17 @@ def _lane_prefix_or_excl(x: jax.Array, A: int) -> jax.Array:
 #   wb=32 S=4 5.06 vs S=1 4.72) — Mosaic's per-op issue overhead at
 #   [128, 128] ops is ~25% of op cost, not the dominant term. The factors
 #   therefore DEFAULT TO 1; the machinery stays for sweeps on other
-#   geometries (smaller wb on future hardware may flip the trade).
+#   geometries (smaller wb on future hardware may flip the trade). Sole
+#   exception: TAL_STACK=4 (4.24 -> 4.18 ms) — the tallies loop is
+#   reduction-dominated, and batching 4 chunk reductions into one beats
+#   the 3 enc_tally copies. The same trick applied to the finder word
+#   sums / per-species health sums measured WORSE (copies of wider data,
+#   fewer reductions saved) and was reverted.
 DMG_STACK = 1
 BIRTH_STACK = 1
 RESP_STACK = 1
 FOOD_STACK = 1
-TAL_STACK = 1
+TAL_STACK = 4
 SURR_STACK = 1
 
 
