@@ -72,8 +72,8 @@ def main():
 
     # Section ablation: cost of section X ~= t(full) - t(X off). Outputs
     # stay written (zeros), so I/O and launch overhead cancel in the diff.
-    for sec in ("finder", "dmg", "eat", "tallies", "birth", "surr",
-                "respawn"):
+    # (finder/dmg moved out of the kernel in r5 — XLA-side fused ops.)
+    for sec in ("eat", "tallies", "birth", "surr", "respawn"):
         step_pallas.systems_pallas = partial(orig, ablate=frozenset([sec]))
         try:
             scan_time(f"ablate {sec}", 32)

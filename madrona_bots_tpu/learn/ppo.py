@@ -135,8 +135,8 @@ def make_stacked_ppo_optimizer(num_species: int, lr: float = 3e-4,
 
 
 def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
-                     rollout_len: int = 16, num_minibatches: int = 4,
-                     update_epochs: int = 2, clip_eps: float = 0.2,
+                     rollout_len: int = 16, num_minibatches: int = 8,
+                     update_epochs: int = 1, clip_eps: float = 0.2,
                      gamma: float = 0.99, gae_lambda: float = 0.95,
                      vf_coef: float = 0.5, ent_coef: float = 0.01,
                      lr: float = 3e-4, max_grad_norm: float = 0.5,
@@ -148,6 +148,13 @@ def make_ppo_trainer(models: Sequence[ActorCritic], cfg: EnvConfig,
     ppo_iteration(state, train_states, key) -> (state, train_states, metrics)
     collects `rollout_len` env steps with the current policies and performs
     `update_epochs x num_minibatches` clipped-surrogate updates per species.
+
+    The default schedule is 1 epoch x 8 minibatches (8 Adam steps, ONE data
+    pass): the update phase is activation-HBM-bound, so halving its data
+    passes vs 2x4 is ~15% end-to-end at 2048 worlds, and the seed-matched
+    learning A/B (artifacts/lcurve/ppo_epoch_ab_r5.jsonl) shows tail
+    entropy/reward/loss inside the 2x4 seed band. Pass num_minibatches=4,
+    update_epochs=2 for the pre-r5 schedule.
 
     learner_slots_per_class=L (< A/NS) turns on record compaction: the
     rollout still runs full-width policy forwards (trajectories are

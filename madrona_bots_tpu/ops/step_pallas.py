@@ -143,10 +143,10 @@ def _fold_blocks(x: jax.Array, S: int, wb: int) -> jax.Array:
     return y
 
 
-def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
+def _kernel(alive_ref, species_ref, health_ref, posx_ref,
             posy_ref, speedq_ref, cidx_ref, cell_ref, food_ref, drawx_ref,
-            drawy_ref,
-            hf_ref, he_ref, dmg_ref, eaten_ref, breeder_ref, born_ref,
+            drawy_ref, dmg_ref, breedok_ref, gmax_s,
+            eaten_ref, breeder_ref, born_ref,
             bposx_ref, bposy_ref, resp_ref,
             rposx_ref, rposy_ref, surrp_ref, surrm_ref, counts_ref,
             hsum_ref, consumed_ref, *, cfg: EnvConfig,
@@ -156,66 +156,27 @@ def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
         stacks if stacks is not None else
         (DMG_STACK, BIRTH_STACK, RESP_STACK, FOOD_STACK, TAL_STACK,
          SURR_STACK))
-    wb, A = flags_ref.shape
+    wb, A = alive_ref.shape
     C = cfg.num_chunks
     P = cfg.max_food_packages
     NS = cfg.num_species
     FL = cfg.respawn_floor
 
-    flags = flags_ref[...]
-    alive0 = flags & 1                                    # [wb, A] i32 0/1
-    shot_pre = (flags >> 1) & 1
-    act_breed = (flags >> 2) & 1
+    alive0 = alive_ref[...]                               # [wb, A] i32 0/1
     species = species_ref[...]
-    finder = finder_ref[...]
     health0 = health_ref[...]
     cidx = cidx_ref[...]
     lane = jax.lax.broadcasted_iota(i32, (wb, A), 1)
     cls = lane % NS                                       # slot class (D2b)
 
-    # ---- finder target-alive gather via a bit-packed alive mask ----
-    # ts needs no gather at all: species-class slots (SPEC D2b) make the
-    # target's species (finder % NS) + 1 whenever it is alive, and death
-    # zeroes the species field — so ts = ta * (cls(finder) + 1) matches the
-    # old pay-table slot sweep bit-for-bit at ~1/10 the ops. ta comes from
-    # a 32-bit-packed alive mask: word k holds lanes [32k, 32k+32), and a
-    # per-lane variable shift extracts the target's bit.
-    if "finder" not in ablate:
-        enc_alive = jnp.left_shift(alive0, lane & 31)
-        wordi = jnp.right_shift(lane, 5)
-        fword = jnp.right_shift(finder, 5)            # -1 -> -1: no match
-        gw = jnp.zeros((wb, A), i32)
-        for k in range((A + 31) // 32):
-            bits_k = jnp.sum(jnp.where(wordi == k, enc_alive, 0),
-                             axis=1, keepdims=True)   # [wb, 1]
-            gw = jnp.where(fword == k, bits_k, gw)
-        ta = jnp.right_shift(gw, finder & 31) & 1     # target alive 0/1
-    else:
-        ta = jnp.zeros((wb, A), i32)
-    ts = ta * (jnp.maximum(finder, 0) % NS + 1)       # target species
-
-    # Quirk D1 (stale finder handle): drop the target-alive requirement.
-    valid_shot = shot_pre if cfg.quirk_d1_stale_finder else shot_pre * ta
-    hf_ref[...] = valid_shot * (ts == species)
-    he_ref[...] = valid_shot * (ts != species)
-
-    # ---- damage histogram: dmg[w, t] = sum_a valid_shot[a]*(finder[a]==t).
-    # Pre-masking the index (miss -> -1) drops the per-lane payload
-    # broadcast: each trip is one lane extract + compare + add, and the
-    # roll-stack folds S shooters into each trip. ----
-    finder_eff = jnp.where(valid_shot > 0, finder, -1)
-    if "dmg" not in ablate:
-        S = _div_stack(A, sdmg)
-        fe_s = _roll_stack(finder_eff, S, A // S)         # [S*wb, A]
-        lane_s = jax.lax.broadcasted_iota(i32, (S * wb, A), 1)
-        acc = jnp.zeros((S * wb, A), i32)
-        for a in range(A // S):
-            acc = acc + (lane_s == _col(fe_s, a)).astype(i32)
-        dmg = _fold_blocks(acc, S, wb)
-    else:
-        dmg = jnp.zeros((wb, A), i32)
-    dmg_ref[...] = dmg
-
+    # The finder target-alive gather, hit tallies and damage histogram
+    # moved OUT of the kernel (r5): they depend only on step-START state
+    # (alive0/finder/species/actions), so XLA computes them as fused
+    # compare-reduce/elementwise ops at [W, A] scale (fused_step_systems)
+    # while this kernel keeps only the parts needing in-kernel feedback
+    # (eat contention, post-eat health, slot claims). dmg / breed_ok arrive
+    # as inputs; integer arithmetic, so parity is unchanged.
+    dmg = dmg_ref[...]
     health1 = health0 - jnp.where(alive0 > 0, cfg.shoot_damage * dmg, 0)
 
     # ---- per-agent food-package payload gather (chunk-indexed) ----
@@ -340,10 +301,11 @@ def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
     health2 = health1 + cfg.eat_health * eaten
 
     # ---- breed eligibility (post-eat health, sim.cpp:547-569) ----
-    ta_ok = (ta >= 0) if cfg.quirk_d1_stale_finder else (ta > 0)
-    breeder = ((act_breed > 0) & (alive0 > 0)
-               & (health2 > cfg.breed_min_health) & (finder >= 0)
-               & ta_ok & (ts == species)).astype(i32)
+    # Every step-start condition (breed action, alive, finder valid, target
+    # alive + same species) is precomputed XLA-side in breed_ok; only the
+    # post-damage/post-eat health test needs the kernel.
+    breeder = ((breedok_ref[...] > 0)
+               & (health2 > cfg.breed_min_health)).astype(i32)
     breeder_ref[...] = breeder
     health3 = health2 - cfg.breed_cost * breeder
     died = (alive0 > 0) & (health3 <= 0)
@@ -388,11 +350,44 @@ def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
     # and the r-th free slot is claimed iff r < grant_cnt.
     grant_cnt = jnp.minimum(breed_cnt, num_free)
     born = ((free > 0) & (free_rank < grant_cnt)).astype(i32)
-    keyq_parent = jnp.where(granted, cls + NS * want_rank, -1)
-    keyq_slot = jnp.where(born > 0, cls + NS * free_rank, -2)
     posx = posx_ref[...]
     posy = posy_ref[...]
-    if "birth" not in ablate:
+    if "birth" not in ablate and (A // NS) & (A // NS - 1) == 0:
+        # Dynamic-rank match (r5): instead of sweeping all A parent lanes,
+        # loop over want-RANKS r = 0..max-grant-1 (block max of an XLA-side
+        # upper bound, SMEM — typically 1-4 vs A=128 trips). Per rank, the
+        # unique granted parent of each class broadcasts its position to
+        # every lane of the class via a cyclic same-class rotation sum
+        # (strides NS, 2NS, ...: exact — all other lanes contribute 0.0 and
+        # positions are clamped to [0, lim], so no -0.0 can flip a sign),
+        # and the unique free slot with free_rank == r selects it. Values
+        # are verbatim pos copies, so parity with the jnp path holds.
+        gb = gmax_s[0, 0]
+        for w in range(1, wb):
+            gb = jnp.maximum(gb, gmax_s[w, 0])
+        grd2 = jnp.concatenate([granted, granted], axis=0)   # [2wb, A]
+        wr2 = jnp.concatenate([want_rank, want_rank], axis=0)
+        slot2 = jnp.concatenate([born, born], axis=0) > 0
+        fr2 = jnp.concatenate([free_rank, free_rank], axis=0)
+        pxy = jnp.concatenate([posx, posy], axis=0)          # [2wb, A]
+
+        def rbody(r, bxy):
+            sel = jnp.where(grd2 & (wr2 == r), pxy, 0.0)
+            s = NS
+            while s < A:
+                sel = sel + pltpu.roll(sel, s, 1)
+                s *= 2
+            return jnp.where(slot2 & (fr2 == r), sel, bxy)
+
+        bxy = jax.lax.fori_loop(0, gb, rbody,
+                                jnp.zeros((2 * wb, A), f32))
+        bposx = bxy[:wb]
+        bposy = bxy[wb:]
+    elif "birth" not in ablate:
+        # Fallback (A/NS not a power of two): static sweep over parent
+        # lanes keyed by (class, rank) pairs.
+        keyq_parent = jnp.where(granted, cls + NS * want_rank, -1)
+        keyq_slot = jnp.where(born > 0, cls + NS * free_rank, -2)
         Sb = _div_stack(A, sbirth)
         Tb = A // Sb
         kp_s = _roll_stack(keyq_parent, Sb, Tb)           # [Sb*wb, A]
@@ -530,19 +525,24 @@ def _kernel(flags_ref, species_ref, finder_ref, health_ref, posx_ref,
 
 @partial(jax.jit, static_argnames=("cfg", "worlds_per_block", "interpret",
                                   "ablate", "stacks"))
-def systems_pallas(flags, species, finder, health, posx, posy, speedq, cidx,
-                   cell, food_packed, drawx, drawy,
+def systems_pallas(alive0, species, health, posx, posy, speedq, cidx,
+                   cell, food_packed, drawx, drawy, dmg, breed_ok, grant_ub,
                    cfg: EnvConfig, worlds_per_block: int = 128,
                    interpret: bool = False,
                    ablate: frozenset = frozenset(),
                    stacks: tuple | None = None):
     """Run the fused systems kernel; see _kernel for per-ref semantics.
 
+    dmg/breed_ok/grant_ub are the XLA-precomputed step-start quantities
+    (fused_step_systems): the damage histogram, the health-independent
+    breed eligibility, and a per-world upper bound on birth grants (the
+    birth match loop's dynamic trip count).
+
     ablate: MEASUREMENT-ONLY static switch (artifacts/kernelprof.py)
-    disabling named sections (finder/dmg/eat/tallies/birth/surr/respawn)
+    disabling named sections (eat/tallies/birth/surr/respawn)
     while keeping every output written, so section costs can be read off
     a timing ablation on hardware. Never set in production paths."""
-    W, A = flags.shape
+    W, A = alive0.shape
     C, P, NS = cfg.num_chunks, cfg.max_food_packages, cfg.num_species
     assert NS <= 4 and A // NS < 256, "byte-packed rank cumsum bounds"
     assert C <= 64, "2x32 chunk-bit packing bound"
@@ -560,17 +560,18 @@ def systems_pallas(flags, species, finder, health, posx, posy, speedq, cidx,
     sD = pl.BlockSpec((wb, NS * cfg.respawn_floor), lambda i: (i, 0),
                       memory_space=pltpu.VMEM)
     sNS = pl.BlockSpec((wb, NS), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    sG = pl.BlockSpec((wb, 1), lambda i: (i, 0), memory_space=pltpu.SMEM)
 
     fA = jax.ShapeDtypeStruct((W, A), f32)
     iA = jax.ShapeDtypeStruct((W, A), i32)
-    out_shape = (iA, iA, iA, iA, iA, iA,          # hf he dmg eaten breeder born
+    out_shape = (iA, iA, iA,                      # eaten breeder born
                  fA, fA,                          # bposx bposy
                  iA, fA, fA,                      # respawned rposx rposy
                  fA, fA,                          # surrp surrm
                  jax.ShapeDtypeStruct((W, NS), i32),
                  jax.ShapeDtypeStruct((W, NS), i32),
                  jax.ShapeDtypeStruct((W, P, 2), i32))
-    out_specs = tuple([sA] * 13 + [sNS, sNS, sP2])
+    out_specs = tuple([sA] * 10 + [sNS, sNS, sP2])
 
     # The default scoped-VMEM budget (16 MB) caps wb at 32; v5e has 128 MB
     # of physical VMEM, and raising the per-kernel limit lets bigger world
@@ -581,13 +582,13 @@ def systems_pallas(flags, species, finder, health, posx, posy, speedq, cidx,
     return pl.pallas_call(
         partial(_kernel, cfg=cfg, ablate=ablate, stacks=stacks),
         grid=(W // wb,),
-        in_specs=[sA] * 9 + [sFC, sD, sD],
+        in_specs=[sA] * 8 + [sFC, sD, sD, sA, sA, sG],
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
         compiler_params=params,
-    )(flags, species, finder, health, posx, posy, speedq, cidx, cell,
-      food_packed, drawx, drawy)
+    )(alive0, species, health, posx, posy, speedq, cidx, cell,
+      food_packed, drawx, drawy, dmg, breed_ok, grant_ub)
 
 
 # ---------------------------------------------------------------------------
@@ -638,9 +639,51 @@ def fused_step_systems(state, cfg: EnvConfig, interpret: bool = False):
     cell2 = systems.cell_in_chunk(new_pos, cfg)
     cell = cell2[..., 0] + cw * cell2[..., 1]
 
-    flags = (alive0.astype(i32)
-             + 2 * (act[..., ACTION_SHOOT] & alive0 & (state.finder >= 0)).astype(i32)
-             + 4 * act[..., ACTION_BREED].astype(i32))
+    # ---- finder-dependent step-start quantities (moved out of the kernel,
+    # r5): target-alive via a bit-packed alive mask (the kernel's own trick
+    # at [W, A] elementwise cost), hit tallies, the damage histogram as a
+    # fused compare-reduce, and breed eligibility minus the health test.
+    # All integer arithmetic — bit-identical to the old in-kernel sections
+    # (tests/test_step_pallas.py pins the composition to env/systems.py). --
+    finder = state.finder
+    alive_i = alive0.astype(i32)
+    lane = jnp.arange(A, dtype=i32)
+    # ts needs no gather at all: species-class slots (SPEC D2b) make the
+    # target's species (finder % NS) + 1 whenever it is alive, and death
+    # zeroes the species field. ta: word k of the packed mask holds lanes
+    # [32k, 32k+32); a per-lane variable shift extracts the target's bit.
+    enc_alive = alive_i << (lane & 31)[None, :]
+    fword = finder >> 5                                   # -1 -> -1: no match
+    gw = jnp.zeros((W, A), i32)
+    for k in range((A + 31) // 32):
+        bits_k = jnp.sum(jnp.where((lane >> 5)[None, :] == k, enc_alive, 0),
+                         axis=1, keepdims=True)           # [W, 1]
+        gw = jnp.where(fword == k, bits_k, gw)
+    ta = (gw >> (finder & 31)) & 1                        # target alive 0/1
+    ts = ta * (jnp.maximum(finder, 0) % NS + 1)           # target species
+    shot_pre = (act[..., ACTION_SHOOT] & alive0 & (finder >= 0)).astype(i32)
+    # Quirk D1 (stale finder handle): drop the target-alive requirement.
+    valid_shot = shot_pre if cfg.quirk_d1_stale_finder else shot_pre * ta
+    hf = valid_shot * (ts == state.species)
+    he = valid_shot * (ts != state.species)
+    # Damage histogram dmg[w, t] = #shooters with finder == t: XLA fuses the
+    # broadcast compare into the reduce (no [W, A, A] materialization).
+    finder_eff = jnp.where(valid_shot > 0, finder, -1)
+    dmg = jnp.sum((finder_eff[:, :, None] == lane[None, None, :]).astype(i32),
+                  axis=1)                                 # [W, A]
+    ta_ok = (ta >= 0) if cfg.quirk_d1_stale_finder else (ta > 0)
+    breed_ok = (act[..., ACTION_BREED] & alive0 & (finder >= 0)
+                & ta_ok & (ts == state.species)).astype(i32)
+    # Per-world upper bound on birth grants (>= the kernel's grant_cnt,
+    # which additionally requires post-eat health): the dynamic trip count
+    # for the kernel's rank-match loop.
+    cls0 = lane % NS
+    grant_ub = jnp.zeros((W,), i32)
+    for c in range(NS):
+        nb = jnp.sum(jnp.where(cls0[None, :] == c, breed_ok, 0), axis=1)
+        nf = jnp.sum(jnp.where(cls0[None, :] == c, 1 - alive_i, 0), axis=1)
+        grant_ub = jnp.maximum(grant_ub, jnp.minimum(nb, nf))
+    grant_ub = grant_ub[:, None]                          # [W, 1]
     # Per-package 10-bit payloads, packed 3 + 3 into two [W, C] channels.
     P = cfg.max_food_packages
     pkg10 = ((food_count > 0).astype(i32)
@@ -665,12 +708,12 @@ def fused_step_systems(state, cfg: EnvConfig, interpret: bool = False):
     drawx = draws[..., 0].reshape(W, NS * FL)
     drawy = draws[..., 1].reshape(W, NS * FL)
 
-    (hf, he, dmg, eaten, breeder, born_i, bposx, bposy,
+    (eaten, breeder, born_i, bposx, bposy,
      resp_i, rposx, rposy, surrp, surrm, counts, hsum, consumed) = \
-        systems_pallas(flags, state.species, state.finder, state.health,
+        systems_pallas(alive_i, state.species, state.health,
                        new_pos[..., 0], new_pos[..., 1], speed_q, cidx, cell,
-                       food_packed, drawx, drawy, cfg,
-                       interpret=interpret)
+                       food_packed, drawx, drawy, dmg, breed_ok, grant_ub,
+                       cfg, interpret=interpret)
 
     born = born_i > 0
     respawned = resp_i > 0
