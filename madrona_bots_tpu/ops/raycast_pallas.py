@@ -1045,12 +1045,32 @@ def raycast_pallas_ladder(pos, heading, alive, species, cfg: EnvConfig,
     # Every packed mode (pair/quad/triple) leaves compacted rank rows in
     # lanes [0, pop); expand back to slots with the transposed one-hot
     # (integer payloads <= 255: bf16-exact; see raycast_pallas_packed).
+    # The payload is ROW-stacked [W, 2S+1, half] so the einsum contracts
+    # the rank axis straight off the kernel's [W, S, A] layout — no operand
+    # or output relayouts (the r4 column-stacked form paid 4; A/B knob
+    # MBOTS_RAYCAST_EPI=r4 restores it, measured ~equal at 8192w).
+    #
+    # NEGATIVE RESULT (r5): gating expansion-vs-transpose per branch with
+    # nested on-device lax.cond (skip the expansion einsum for all-single
+    # blocks, the slot transposes for all-packed blocks) CRASHES the TPU
+    # runtime when the step runs inside a donated-state lax.scan — the
+    # sensor-only program is fine, the full fused step kills the worker
+    # process (~15 min backend outage each attempt, reproduced twice on
+    # v5e). Unconditional where-select is the shipping form; both branches
+    # compute every step.
+    import os
+    epi = os.environ.get("MBOTS_RAYCAST_EPI", "where")
     is2 = (mode[:, 0:1].repeat(2, axis=1).reshape(W, 1) == 1)    # [W, 1]
 
-    def expanded():
-        # Row-stacked payload [W, 2S+1, half]: the einsum contracts the
-        # rank axis straight off the kernel's [W, S, A] layout — no
-        # operand or output transposes (r4 paid 4 relayouts here).
+    if epi == "r4":
+        payl = jnp.concatenate([
+            depth_t[:, :, :half].transpose(0, 2, 1).astype(jnp.bfloat16),
+            semantic_t[:, :, :half].transpose(0, 2, 1).astype(jnp.bfloat16),
+            finder_t[:, :half, None].astype(jnp.bfloat16),
+        ], axis=-1)                                              # [W, half, 2S+1]
+        exp = jnp.einsum("war,wrf->waf", roh, payl,
+                         preferred_element_type=jnp.bfloat16)    # [W, A, 2S+1]
+    else:
         payl = jnp.concatenate([
             depth_t[:, :, :half].astype(jnp.bfloat16),
             semantic_t[:, :, :half].astype(jnp.bfloat16),
@@ -1058,28 +1078,11 @@ def raycast_pallas_ladder(pos, heading, alive, species, cfg: EnvConfig,
         ], axis=1)                                               # [W, 2S+1, half]
         exp = jnp.einsum("war,wfr->waf", roh, payl,
                          preferred_element_type=jnp.bfloat16)    # [W, A, 2S+1]
-        return (exp[..., :S].astype(jnp.uint8),
-                exp[..., S:2 * S].astype(jnp.int8),
-                exp[..., 2 * S].astype(jnp.int32))
-
-    def slotted():
-        return (depth_t.transpose(0, 2, 1), semantic_t.transpose(0, 2, 1),
-                finder_t)
-
-    def mixed():
-        ed, es, ef = expanded()
-        sd, ss, sf = slotted()
-        return (jnp.where(is2[..., None], ed, sd),
-                jnp.where(is2[..., None], es, ss),
-                jnp.where(is2, ef, sf))
-
-    # Population-sorted grouping makes blocks mode-homogeneous in practice:
-    # typical states are all-packed (expansion only) and saturated states
-    # all-single (transpose only) — gate each path with on-device
-    # conditionals so the unused one costs nothing.
-    depth, semantic, finder = jax.lax.cond(
-        jnp.all(is2), expanded,
-        lambda: jax.lax.cond(jnp.any(is2), mixed, slotted))
+    depth = jnp.where(is2[..., None], exp[..., :S].astype(jnp.uint8),
+                      depth_t.transpose(0, 2, 1))
+    semantic = jnp.where(is2[..., None], exp[..., S:2 * S].astype(jnp.int8),
+                         semantic_t.transpose(0, 2, 1))
+    finder = jnp.where(is2, exp[..., 2 * S].astype(jnp.int32), finder_t)
     depth = jnp.where(alive[..., None], depth, 0)
     semantic = jnp.where(alive[..., None], semantic, -1)
     finder = jnp.where(alive, finder, -1)
