@@ -32,7 +32,8 @@ NSEED = int(sys.argv[1]) if len(sys.argv) > 1 else 2
 EPOCHS = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
 W = int(sys.argv[3]) if len(sys.argv) > 3 else 8192
 BLOCK = 50
-KEEP = ("entropy", "reward", "count", "loss", "dropped_rows")
+KEEP = ("avg_action_entropy", "reward", "count", "total_loss",
+        "dropped_rows")
 ARMS = {"s12": 12, "s10": 10}
 
 

@@ -43,4 +43,8 @@ def block(key, pos):
 t0 = time.time()
 print("sum:", float(jax.device_get(block(jax.random.key(1), pos))),
       f"({time.time()-t0:.1f}s)", flush=True)
+t0 = time.time()
+print("sum2:", float(jax.device_get(block(jax.random.key(2), pos))))
+dt = (time.time() - t0) / 4
+print(f"steady: {dt*1e3:.3f} ms/call", flush=True)
 print("OK", flush=True)

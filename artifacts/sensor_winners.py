@@ -87,7 +87,7 @@ def analyze(pos, heading, alive, cfg):
     self_idx = jnp.arange(A, dtype=jnp.int32)
 
     def body(b, carry):
-        t_min, arg_min, f_min, f_arg, hittable = carry
+        t_min, arg_min, f_min, f_arg, hittable, src_cnt = carry
         c = pos[:, b, :]
         oc = c[:, None, :] - pos                              # [W, A, 2]
         oc2 = oc[..., 0] ** 2 + oc[..., 1] ** 2
@@ -112,15 +112,20 @@ def analyze(pos, heading, alive, cfg):
         f_arg = jnp.where(fcloser, b, f_arg)
         hittable = hittable.at[:, b].set(valid.any(axis=(1, 2))
                                          | fvalid.any(axis=1))
-        return t_min, arg_min, f_min, f_arg, hittable
+        # Per-SOURCE hittable count: how many targets source a's own fan
+        # can reach (ignoring occlusion) — the ceiling of a perfect
+        # per-source cull (which TPU lanes cannot express anyway).
+        src_cnt = src_cnt + (valid.any(axis=2) | fvalid).astype(jnp.int32)
+        return t_min, arg_min, f_min, f_arg, hittable, src_cnt
 
     t0 = jnp.full((Wn, A, S), _INF, jnp.float32)
     a0 = jnp.full((Wn, A, S), -1, jnp.int32)
     ft0 = jnp.full((Wn, A), _INF, jnp.float32)
     fa0 = jnp.full((Wn, A), -1, jnp.int32)
     h0 = jnp.zeros((Wn, A), bool)
-    t_ag, arg, f_t, f_arg, hittable = jax.lax.fori_loop(
-        0, A, body, (t0, a0, ft0, fa0, h0))
+    sc0 = jnp.zeros((Wn, A), jnp.int32)
+    t_ag, arg, f_t, f_arg, hittable, src_cnt = jax.lax.fori_loop(
+        0, A, body, (t0, a0, ft0, fa0, h0, sc0))
 
     # A target wins a fan slot only if it also beats the wall (the sensor
     # output shows the wall otherwise); finder ignores walls.
@@ -134,7 +139,11 @@ def analyze(pos, heading, alive, cfg):
     won = ((fan_arg[..., None] == tgt).any(axis=(1, 2))
            | (fdr_arg[..., None] == tgt).any(axis=1))         # [W, A]
     pop = alive.sum(axis=1)
-    return pop, won.sum(axis=1), hittable.sum(axis=1)
+    # Mean per-source hittable fraction over alive sources (vs pop - 1
+    # other agents).
+    src_frac = (jnp.where(alive, src_cnt, 0).sum(axis=1).astype(jnp.float32)
+                / jnp.maximum(pop * jnp.maximum(pop - 1, 1), 1))
+    return pop, won.sum(axis=1), hittable.sum(axis=1), src_frac
 
 
 def stats(v):
@@ -149,7 +158,7 @@ def run_case(name, init_agents):
     cfg = EnvConfig(num_worlds=W, init_agents=init_agents, max_agents=128)
     state = init_state(jax.random.key(0), cfg)
     state = roll(state, jax.random.key(1), cfg)
-    pop, won, hit = jax.device_get(
+    pop, won, hit, src_frac = jax.device_get(
         analyze(state.pos, state.heading, state.alive, cfg))
     pop = pop.astype(np.float64)
     out = {
@@ -158,6 +167,7 @@ def run_case(name, init_agents):
         "hittable": stats(hit),
         "winners_over_pop": stats(won / np.maximum(pop, 1)),
         "hittable_over_pop": stats(hit / np.maximum(pop, 1)),
+        "per_source_hittable_frac": stats(src_frac),
     }
     print(name, json.dumps(out), flush=True)
     return out

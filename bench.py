@@ -109,8 +109,12 @@ def bench_train(num_worlds=8192, max_agents=128, iters=2, warmup=1,
     models = [ActorCritic.from_generator(gen) for _ in range(cfg.num_species)]
     # Learner-row compaction (BENCH_A2C_SLOTS, 0 = off): the per-world
     # one-hot gather feeds only ~alive rows to the 4 nets — the same
-    # alive-only batch the reference's species sort produces.
-    slots = int(os.environ.get("BENCH_A2C_SLOTS", "12")) or None
+    # alive-only batch the reference's species sort produces. Default 10:
+    # the r5 seed-matched A/B (artifacts/lcurve/a2c_slots_ab_r5.jsonl,
+    # 2 seeds x 2000 epochs x 8192w) shows identical learning tails at
+    # +7-8% throughput with 0.005% of agents acting null per tick
+    # (A2C drops DO affect behavior — that fraction is the behavior cost).
+    slots = int(os.environ.get("BENCH_A2C_SLOTS", "10")) or None
     # Species-stacked batched update (BENCH_STACKED=1 opts in,
     # models/stacked.py). r4 A/B on identical conditions: loop 293k vs
     # stacked 236k env-steps/s at 8192w — the r3 stacked win does not
