@@ -175,11 +175,13 @@ def bench_ppo(num_worlds=8192, max_agents=128, iters=2, warmup=1,
     # Learner-row compaction (BENCH_PPO_SLOTS, 0 = off): only ~pop/Asub of
     # padded class slots are alive; the per-group one-hot compaction cuts
     # update rows ~2-2.7x with a dropped-row counter guarding correctness.
-    # PPO compaction NEVER affects behavior (learner batch only), so the
-    # default runs the measured throughput knee: slots=10 = 234.9k vs
-    # slots=12 = 217k env-steps/s at 8192w, at 0.07% of alive transitions
-    # left untrained per step (r4 A/B).
-    slots = int(os.environ.get("BENCH_PPO_SLOTS", "10")) or None
+    # PPO compaction NEVER affects behavior (learner batch only). Default 8
+    # (r5 knee: slots 10/9/8 = 291.9/304.4/321.0k env-steps/s at 8192w,
+    # 0.069/0.254/0.851% of alive transitions untrained); the 3-seed
+    # production-config bands (artifacts/lcurve/ppo_multiseed_r5.jsonl)
+    # show slots=8 learning indistinguishable from the slots=12 no-drop
+    # control within seed variance.
+    slots = int(os.environ.get("BENCH_PPO_SLOTS", "8")) or None
     # Species-stacked PPO (BENCH_PPO_STACKED=1 opts in) is built and exact
     # (tests/test_stacked_ppo.py) but measured SLOWER than the loop at
     # 8192w on v5e — stage bisect: rollout 490 vs 348 ms (species-major
