@@ -711,7 +711,7 @@ def _kernel_ladder(offs_ref, px_ref, py_ref, hd_ref, alive_ref,
                    posx_s, posy_s, species_s, alive_s,
                    cx_s, cy_s, cslot_s, cspec_s, n_s, mode_s, m12_s,
                    depth_ref, semantic_ref, finder_ref,
-                   *, cfg: EnvConfig, unroll: int = 8, guard: bool = False):
+                   *, cfg: EnvConfig, unroll: int = 6, guard: bool = False):
     S = cfg.sensor_size
     A = px_ref.shape[1]
     half = A // 2
@@ -918,7 +918,7 @@ def _kernel_ladder(offs_ref, px_ref, py_ref, hd_ref, alive_ref,
 @partial(jax.jit, static_argnames=("cfg", "interpret", "unroll",
                                    "sort_worlds", "force_m12", "raw_out"))
 def raycast_pallas_ladder(pos, heading, alive, species, cfg: EnvConfig,
-                          interpret: bool = False, unroll: int = 8,
+                          interpret: bool = False, unroll: int = 6,
                           sort_worlds: bool = True, force_m12=None,
                           raw_out: bool = False):
     """Quad/triple/pair ladder raycast — same signature/outputs as
